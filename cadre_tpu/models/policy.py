@@ -1,0 +1,238 @@
+"""Command-banked PPO policy models: LSTM memory + categorical actor-critic.
+
+The reference keeps 16 separate torch modules — {steer,throttle} x
+{lstm,ppo} x 4 commands — in a dict (ppo_agent/models.py:97-126) and, during
+updates, evaluates all 4 command banks and masks by `command_batch ==
+command` (ppo_agent/agent.py:170-182). The TPU-native design stores each
+bank as ONE pytree with a leading command axis and uses vmap/one-hot masking:
+the same dense-all-experts math, but a single fused program.
+
+Components:
+  - LSTMCell: torch nn.LSTMCell semantics (gate order i,f,g,o; two bias
+    vectors) with orthogonal weight / zero bias init (models.py:130-137).
+  - CategoricalHead: 3-layer MLP 530->128->128->num_bins, orthogonal init
+    gain 0.01 (distributions.py:29-40).
+  - Critic: 530->128->128->1, orthogonal gain 1 (models.py:170-177).
+  - PolicyBank: functional container of stacked params + pure apply fns.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cadre_tpu.rl.distributions import (
+    categorical_entropy,
+    categorical_log_prob,
+    categorical_sample,
+    ordinal_logits,
+)
+
+
+def _orthogonal(gain: float):
+    return nn.initializers.orthogonal(scale=gain)
+
+
+class LSTMCell(nn.Module):
+    """torch nn.LSTMCell parity: i,f,g,o gate order, separate ih/hh biases."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, carry):
+        h, c = carry
+        in_dim = x.shape[-1]
+        w_ih = self.param("weight_ih", _orthogonal(1.0),
+                          (4 * self.hidden, in_dim))
+        w_hh = self.param("weight_hh", _orthogonal(1.0),
+                          (4 * self.hidden, self.hidden))
+        b_ih = self.param("bias_ih", nn.initializers.zeros, (4 * self.hidden,))
+        b_hh = self.param("bias_hh", nn.initializers.zeros, (4 * self.hidden,))
+        gates = x @ w_ih.T + b_ih + h @ w_hh.T + b_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return h_new, (h_new, c_new)
+
+
+class LSTMModel(nn.Module):
+    """Single-step or unrolled LSTM (ppo_agent/models.py:139-152).
+
+    `__call__` handles one step [N, F]; `unroll` consumes [T, N, F] via
+    lax.scan (replacing the reference's python loop) and returns the final
+    hidden output, matching the reference's T*N -> final-h behavior.
+    """
+
+    hidden: int
+
+    def setup(self):
+        self.cell = LSTMCell(self.hidden, name="rnn")
+
+    def __call__(self, x, carry):
+        return self.cell(x, carry)
+
+    def unroll(self, xs, carry):
+        """xs: [T, N, F] -> (carry, h_final [N, H]) via lax.scan.
+
+        Replaces the reference's python loop over T (models.py:144-151);
+        only the final hidden output is consumed downstream.
+        """
+
+        def step(carry, x):
+            _, carry = self.cell(x, carry)
+            return carry, carry[0]
+
+        carry, _hs = jax.lax.scan(step, carry, xs)
+        return carry, carry[0]
+
+
+class CategoricalHead(nn.Module):
+    """Actor MLP -> logits (distributions.py:34-40); optional ordinal mode."""
+
+    num_outputs: int
+    hidsize: int = 128
+    ordinal: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidsize, kernel_init=_orthogonal(0.01),
+                     bias_init=nn.initializers.zeros, name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.hidsize, kernel_init=_orthogonal(0.01),
+                     bias_init=nn.initializers.zeros, name="fc2")(x)
+        x = nn.relu(x)
+        logits = nn.Dense(self.num_outputs, kernel_init=_orthogonal(0.01),
+                          bias_init=nn.initializers.zeros, name="fc3")(x)
+        if self.ordinal:
+            logits = ordinal_logits(logits)
+        return logits
+
+
+class ActorCritic(nn.Module):
+    """One PPO head: categorical actor + 3-layer critic (models.py:162-212)."""
+
+    num_outputs: int
+    hidsize: int = 128
+    ordinal: bool = False
+
+    def setup(self):
+        self.control = CategoricalHead(self.num_outputs, self.hidsize,
+                                       self.ordinal, name="control")
+        self.critic_fc1 = nn.Dense(self.hidsize, kernel_init=_orthogonal(1.0),
+                                   bias_init=nn.initializers.zeros,
+                                   name="critic_fc1")
+        self.critic_fc2 = nn.Dense(self.hidsize, kernel_init=_orthogonal(1.0),
+                                   bias_init=nn.initializers.zeros,
+                                   name="critic_fc2")
+        self.critic_fc3 = nn.Dense(1, kernel_init=_orthogonal(1.0),
+                                   bias_init=nn.initializers.zeros,
+                                   name="critic_fc3")
+
+    def value(self, x):
+        h = nn.relu(self.critic_fc1(x))
+        h = nn.relu(self.critic_fc2(h))
+        return self.critic_fc3(h)
+
+    def __call__(self, x):
+        return self.control(x), self.value(x)
+
+
+class PolicyOutput(NamedTuple):
+    action: jax.Array
+    log_prob: jax.Array
+    value: jax.Array
+    logits: jax.Array
+
+
+@dataclasses.dataclass
+class PolicyBankDef:
+    """Static definition of one signal's policy bank (e.g. steer)."""
+
+    num_commands: int
+    num_outputs: int
+    feature_dim: int
+    use_lstm: bool = True
+    ordinal: bool = False
+
+    def make_modules(self):
+        ac = ActorCritic(self.num_outputs, ordinal=self.ordinal)
+        lstm = LSTMModel(self.feature_dim) if self.use_lstm else None
+        return ac, lstm
+
+    def init_params(self, rng: jax.Array):
+        """Stacked params with leading [num_commands] axis per bank."""
+        ac, lstm = self.make_modules()
+        x = jnp.zeros((1, self.feature_dim))
+        carry = (jnp.zeros((1, self.feature_dim)),
+                 jnp.zeros((1, self.feature_dim)))
+
+        def init_one(key):
+            k1, k2 = jax.random.split(key)
+            p = {"ac": ac.init(k1, x)["params"]}
+            if self.use_lstm:
+                p["lstm"] = lstm.init(k2, x, carry)["params"]
+            return p
+
+        keys = jax.random.split(rng, self.num_commands)
+        return jax.vmap(init_one)(keys)
+
+    # ---------------- pure apply fns ----------------
+
+    def _select(self, bank_params, command):
+        return jax.tree.map(lambda p: p[command], bank_params)
+
+    def features(self, bank_params, command, obs, carry):
+        """LSTM step for one command: obs [N,F] -> (feat [N,F], carry)."""
+        if not self.use_lstm:
+            return obs, carry
+        _, lstm = self.make_modules()
+        p = self._select(bank_params, command)
+        return lstm.apply({"params": p["lstm"]}, obs, carry)
+
+    def act(self, bank_params, command, obs, carry, rng):
+        """Single-env act (agent.py:114-141): LSTM -> sample + value."""
+        ac, _ = self.make_modules()
+        feat, new_carry = self.features(bank_params, command, obs, carry)
+        p = self._select(bank_params, command)
+        logits, value = ac.apply({"params": p["ac"]}, feat)
+        action = categorical_sample(logits, rng)
+        log_prob = categorical_log_prob(logits, action)
+        return PolicyOutput(action, log_prob, value[..., 0], logits), new_carry
+
+    def value(self, bank_params, command, obs, carry):
+        ac, _ = self.make_modules()
+        feat, _ = self.features(bank_params, command, obs, carry)
+        p = self._select(bank_params, command)
+        return ac.apply({"params": p["ac"]}, feat, method=ActorCritic.value)[..., 0]
+
+    def evaluate_masked(self, bank_params, obs_seq, carry, action, command_b):
+        """All-command evaluation with one-hot masking (agent.py:170-182).
+
+        obs_seq: [T, N, F] sequence fed through each command's LSTM unroll
+        (the reference feeds [T*N, F] and loops T); carry: ([N,F],[N,F]) from
+        the stored rollout hidden state; action, command_b: [N].
+        Returns (value [N], log_prob [N], entropy [N]) summed over commands
+        masked by command_b == c — identical math to the reference's
+        sum-of-masked-banks.
+        """
+        ac, lstm = self.make_modules()
+
+        def eval_one(p):
+            if self.use_lstm:
+                feat = lstm.apply({"params": p["lstm"]}, obs_seq, carry,
+                                  method=LSTMModel.unroll)[1]
+            else:
+                feat = obs_seq[-1]
+            logits, value = ac.apply({"params": p["ac"]}, feat)
+            lp = categorical_log_prob(logits, action)
+            ent = categorical_entropy(logits)
+            return value[..., 0], lp, ent
+
+        values, lps, ents = jax.vmap(eval_one)(bank_params)  # [C, N]
+        onehot = jax.nn.one_hot(command_b, self.num_commands,
+                                dtype=values.dtype).T  # [C, N]
+        return ((values * onehot).sum(0), (lps * onehot).sum(0),
+                (ents * onehot).sum(0))
