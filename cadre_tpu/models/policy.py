@@ -202,6 +202,22 @@ class PolicyBankDef:
         log_prob = categorical_log_prob(logits, action)
         return PolicyOutput(action, log_prob, value[..., 0], logits), new_carry
 
+    def act_seq(self, bank_params, command, obs_seq, carry, rng):
+        """Act from a feature sequence [T, N, F] unrolled through the LSTM
+        (the reference's act feeds all 8 frame features each step,
+        models.py:144-151 via agent.py:123-124)."""
+        ac, lstm = self.make_modules()
+        p = self._select(bank_params, command)
+        if self.use_lstm:
+            new_carry, feat = lstm.apply({"params": p["lstm"]}, obs_seq,
+                                         carry, method=LSTMModel.unroll)
+        else:
+            feat, new_carry = obs_seq[-1], carry
+        logits, value = ac.apply({"params": p["ac"]}, feat)
+        action = categorical_sample(logits, rng)
+        log_prob = categorical_log_prob(logits, action)
+        return PolicyOutput(action, log_prob, value[..., 0], logits), new_carry
+
     def value(self, bank_params, command, obs, carry):
         ac, _ = self.make_modules()
         feat, _ = self.features(bank_params, command, obs, carry)

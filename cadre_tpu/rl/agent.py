@@ -1,0 +1,244 @@
+"""CadreAgent: cascade inference (frozen perception encoder -> per-command
+PPO policies) and PPO updates, fully jitted.
+
+Behavioral contract from ppo_agent/agent.py:
+  - pre_process (:43-75): rgb [T,H,W,3]/255; route figure per-frame
+    max-normalized, transposed to image orientation, concatenated as a 4th
+    channel. The 8 history frames ride the batch axis.
+  - get_latent_feature (:97-112): frozen DANet latent [T,512] concat
+    measurements tiled x6 -> [T,530].
+  - act (:114-141): per-command LSTM + actor-critic for steer and throttle;
+    softmax sampling; returns features/actions/log-probs/values/hidden.
+    NOTE the reference never writes act's hidden state back to
+    self.hidden_state (agent.py:38-40,123-124) — the LSTM sees a zero carry
+    every step. We replicate that default (`update_hidden=False`) and expose
+    the fixed behavior as an option, documented divergence.
+  - get_value (:143-164): bootstrap values for GAE, zeros when done.
+  - update_policy (:166-237) lives in cadre_tpu.rl.ppo.
+  - save/load_snapshot (:245-271): here a flax msgpack checkpoint of both
+    banks (the reference's snapshot dict double-saves steer_ppo and omits
+    throttle_lstm — a bug we do NOT replicate; we save all four banks).
+
+TPU-first: one jitted `_act` covers preprocess -> encoder -> LSTM -> heads ->
+sampling; one jitted update covers the minibatch step. The eval-time
+K-checkpoint ensemble is a vmap over stacked params (`EnsembleAgent`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cadre_tpu.configs.agent_config import AgentConfig, RolloutConfig
+from cadre_tpu.configs.danet_config import DANetParams, danet_params
+from cadre_tpu.models.danet import DANet, create_danet
+from cadre_tpu.models.policy import PolicyBankDef
+from cadre_tpu.rl.ppo import PPOConfig, make_optimizer, make_update_fn
+from cadre_tpu.utils import checkpoint as ckpt
+
+
+class ActResult(NamedTuple):
+    features: jax.Array          # [T, 530] latent+measurements
+    steer_action: jax.Array      # scalar int32
+    throttle_action: jax.Array   # scalar int32
+    steer_log_prob: jax.Array
+    throttle_log_prob: jax.Array
+    steer_value: jax.Array
+    throttle_value: jax.Array
+    hidden: Tuple[jax.Array, jax.Array]
+
+
+def preprocess_obs(rgb: jax.Array, route_fig: jax.Array) -> jax.Array:
+    """tick_data -> encoder input [T, H, W, 4] (agent.py:43-75).
+
+    rgb: [T, H, W, 3] uint8/float; route_fig: [T, W, H] raster (the route
+    figure is drawn transposed, env_wrapper.py:242) -> normalized to [0,1]
+    per frame by its max, transposed to [T, H, W].
+    """
+    rgb = rgb.astype(jnp.float32) / 255.0
+    route = route_fig.astype(jnp.float32)
+    max_per_frame = jnp.max(route, axis=(1, 2), keepdims=True)
+    route = jnp.where(max_per_frame > 0, route / max_per_frame, route)
+    route = jnp.swapaxes(route, 1, 2)[..., None]  # [T, H, W, 1]
+    return jnp.concatenate([rgb, route], axis=-1)
+
+
+def latent_features(danet: DANet, danet_vars, x: jax.Array,
+                    measurements: jax.Array) -> jax.Array:
+    """Frozen encoder latent + measurements tiled x6 (agent.py:97-112)."""
+    z = danet.apply(danet_vars, x, method=DANet.latent)
+    meas = jnp.tile(measurements.astype(jnp.float32), (1, 6))
+    return jnp.concatenate([z, meas], axis=-1)
+
+
+@dataclasses.dataclass
+class CadreAgent:
+    """Cascade agent. Frozen encoder + trainable policy banks."""
+
+    agent_cfg: AgentConfig
+    danet_cfg: DANetParams
+    danet: DANet
+    danet_vars: Any
+    steer_def: PolicyBankDef
+    throttle_def: PolicyBankDef
+    params: Dict[str, Any]          # {'steer': bank, 'throttle': bank}
+    ppo_cfg: PPOConfig
+    update_hidden: bool = False     # reference keeps a stale zero carry
+    dtype: Any = jnp.float32
+
+    @property
+    def obs_dim(self) -> int:
+        """latent width + tiled measurements (ppo_agent/models.py:38-41)."""
+        return self.danet_cfg.latent_dim + self.agent_cfg.measurement_dim
+
+    def __post_init__(self):
+        f = self.obs_dim
+        self.hidden_state = (jnp.zeros((1, f)), jnp.zeros((1, f)))
+        self._act_jit = jax.jit(self._act)
+        self._value_jit = jax.jit(self._bootstrap_value)
+        self._update = jax.jit(
+            make_update_fn(self.steer_def, self.throttle_def, self.ppo_cfg))
+        self.opt_state = make_optimizer(self.ppo_cfg).init(self.params)
+
+    # ---------------- construction ----------------
+
+    @classmethod
+    def create(cls, rng: jax.Array, agent_cfg: AgentConfig | None = None,
+               danet_cfg: DANetParams | None = None,
+               ppo_cfg: PPOConfig | None = None,
+               danet_vars=None):
+        agent_cfg = agent_cfg or AgentConfig()
+        danet_cfg = danet_cfg or danet_params()
+        ppo_cfg = ppo_cfg or PPOConfig()
+        k1, k2, k3 = jax.random.split(rng, 3)
+        danet, fresh_vars = create_danet(danet_cfg, k1)
+        danet_vars = danet_vars if danet_vars is not None else fresh_vars
+        f = danet_cfg.latent_dim + agent_cfg.measurement_dim
+        steer_def = PolicyBankDef(agent_cfg.command_num,
+                                  agent_cfg.num_steer_outputs, f,
+                                  use_lstm=agent_cfg.use_lstm,
+                                  ordinal=agent_cfg.ordinal)
+        throttle_def = PolicyBankDef(agent_cfg.command_num,
+                                     agent_cfg.num_throttle_outputs, f,
+                                     use_lstm=agent_cfg.use_lstm,
+                                     ordinal=agent_cfg.ordinal)
+        params = {"steer": steer_def.init_params(k2),
+                  "throttle": throttle_def.init_params(k3)}
+        return cls(agent_cfg=agent_cfg, danet_cfg=danet_cfg, danet=danet,
+                   danet_vars=danet_vars, steer_def=steer_def,
+                   throttle_def=throttle_def, params=params, ppo_cfg=ppo_cfg)
+
+    # ---------------- inference ----------------
+
+    def _act(self, params, danet_vars, rgb, route_fig, measurements, command,
+             hidden, rng):
+        x = preprocess_obs(rgb, route_fig)
+        feats = latent_features(self.danet, danet_vars, x, measurements)
+        # all T frame features unroll through the LSTM every act
+        # (models.py:144-151 via agent.py:123-124); N = 1 env
+        obs_seq = feats[:, None, :]
+        rs, rt = jax.random.split(rng)
+        steer_out, hidden_s = self.steer_def.act_seq(
+            params["steer"], command, obs_seq, hidden, rs)
+        throttle_out, _ = self.throttle_def.act_seq(
+            params["throttle"], command, obs_seq, hidden, rt)
+        return ActResult(feats, steer_out.action[0], throttle_out.action[0],
+                         steer_out.log_prob[0], throttle_out.log_prob[0],
+                         steer_out.value[0], throttle_out.value[0], hidden_s)
+
+    def act(self, tick_data: Dict[str, Any], rng: jax.Array) -> ActResult:
+        """tick_data: dict with 'rgb' [T,H,W,3], 'route_fig' [T,W,H],
+        'measurements' [T,3], 'command' int."""
+        out = self._act_jit(
+            self.params, self.danet_vars,
+            jnp.asarray(tick_data["rgb"]), jnp.asarray(tick_data["route_fig"]),
+            jnp.asarray(tick_data["measurements"]),
+            jnp.asarray(tick_data["command"], jnp.int32),
+            self.hidden_state, rng)
+        if self.update_hidden:
+            self.hidden_state = out.hidden
+        return out
+
+    def _bootstrap_value(self, params, steer_obs, steer_cmd, throttle_obs,
+                         throttle_cmd, hidden):
+        """Next-state values for GAE bootstrap (agent.py:143-164).
+
+        The reference feeds the stored [seq, F] observation through the LSTM
+        as a batch; we unroll it and value the final feature.
+        """
+        def one(bank_def, bank_params, obs_seq, cmd):
+            sel = jax.tree.map(lambda p: p[cmd], bank_params)
+            if bank_def.use_lstm:
+                from cadre_tpu.models.policy import LSTMModel
+                _, lstm = bank_def.make_modules()
+                feat = lstm.apply({"params": sel["lstm"]},
+                                  obs_seq[:, None, :], hidden,
+                                  method=LSTMModel.unroll)[1]
+            else:
+                feat = obs_seq[-1:]
+            ac, _ = bank_def.make_modules()
+            from cadre_tpu.models.policy import ActorCritic
+            return ac.apply({"params": sel["ac"]}, feat,
+                            method=ActorCritic.value)[0, 0]
+
+        return (one(self.steer_def, params["steer"], steer_obs, steer_cmd),
+                one(self.throttle_def, params["throttle"], throttle_obs,
+                    throttle_cmd))
+
+    def get_value(self, done: bool, steer_batch, throttle_batch):
+        if done:
+            return jnp.zeros(()), jnp.zeros(())
+        steer_obs, steer_cmd = steer_batch
+        throttle_obs, throttle_cmd = throttle_batch
+        return self._value_jit(self.params, jnp.asarray(steer_obs),
+                               jnp.asarray(steer_cmd, jnp.int32),
+                               jnp.asarray(throttle_obs),
+                               jnp.asarray(throttle_cmd, jnp.int32),
+                               self.hidden_state)
+
+    # ---------------- update ----------------
+
+    def update_policy(self, steer_mb, throttle_mb):
+        self.params, self.opt_state, aux = self._update(
+            self.params, self.opt_state, steer_mb, throttle_mb)
+        return (float(aux.value_loss), float(aux.action_loss),
+                float(aux.entropy_loss))
+
+    # ---------------- snapshots ----------------
+
+    def save_snapshot(self, path: str):
+        ckpt.save_pytree(path, {"steer": self.params["steer"],
+                                "throttle": self.params["throttle"]})
+
+    def load_snapshot(self, path: str):
+        self.params = ckpt.load_pytree(path, {"steer": self.params["steer"],
+                                              "throttle": self.params["throttle"]})
+
+
+class EnsembleAgent:
+    """K-checkpoint ensemble as a vmap axis (replaces eval.py's K sequential
+    agents; SURVEY §2.7 'ensemble parallelism')."""
+
+    def __init__(self, agent: CadreAgent, snapshot_paths):
+        banks = [ckpt.load_pytree(p, agent.params) for p in snapshot_paths]
+        self.k = len(banks)
+        self.stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *banks)
+        self.agent = agent
+        self._act_k = jax.jit(jax.vmap(
+            agent._act, in_axes=(0, None, None, None, None, None, None, 0)))
+
+    def act(self, tick_data, rng) -> list:
+        rngs = jax.random.split(rng, self.k)
+        out = self._act_k(
+            self.stacked, self.agent.danet_vars,
+            jnp.asarray(tick_data["rgb"]), jnp.asarray(tick_data["route_fig"]),
+            jnp.asarray(tick_data["measurements"]),
+            jnp.asarray(tick_data["command"], jnp.int32),
+            self.agent.hidden_state, rngs)
+        return [(int(out.steer_action[i]), int(out.throttle_action[i]))
+                for i in range(self.k)]
