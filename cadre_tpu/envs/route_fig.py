@@ -1,0 +1,218 @@
+"""Route-figure rasterization, deviation distance, heading error, and the
+turn-detection state machine.
+
+Contracts (env_wrapper.py):
+  - _draw_route (:240-344): render the next <=50m of route as a width-15
+    polyline on a 256x144 canvas in the ego frame rotated by compass+pi/2;
+    track turn segments by axis-change of consecutive waypoints; compute the
+    perpendicular distance from the ego to the first route segment.
+  - get_theta (:484-561): heading error between the vehicle forward vector
+    (from IMU yaw) and the route vector via arccos of the normalized dot
+    product, with the route_len==2 supplementary-angle special case.
+
+The rasterizer here is a vectorized numpy distance-to-segment ribbon (the
+reference uses PIL width-15 lines; the ribbon is behaviorally equivalent —
+the encoder consumes it max-normalized).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from cadre_tpu.envs.road_option import RoadOption
+
+SIZE_X = 144   # canvas width (ego x axis)
+SIZE_Y = 256   # canvas height (ego y axis)
+PIXELS_PER_METER = 3.66
+LINE_WIDTH = 15.0
+
+
+@dataclasses.dataclass
+class TurnState:
+    """Turn-detection state carried across steps (env_wrapper.py:302-343)."""
+
+    in_turn: bool = False
+    turn_first_node: Optional[np.ndarray] = None
+    turn_last_node: Optional[np.ndarray] = None
+    first_direction: int = 0
+    last_direction: int = 0
+    pre_theta: float = 0.0
+
+
+def _rotation(compass: float) -> np.ndarray:
+    c = 0.0 if math.isnan(compass) else compass
+    c = c + np.pi / 2
+    return np.array([[np.cos(c), -np.sin(c)], [np.sin(c), np.cos(c)]])
+
+
+def rasterize_polyline(points_px: np.ndarray, height: int = SIZE_Y,
+                       width: int = SIZE_X,
+                       line_width: float = LINE_WIDTH) -> np.ndarray:
+    """Distance-to-segment ribbon raster: uint8 {0,255} [height, width].
+
+    points_px: [N,2] (x, y) pixel coordinates.
+    """
+    fig = np.zeros((height, width), np.uint8)
+    if len(points_px) < 2:
+        return fig
+    ys, xs = np.mgrid[0:height, 0:width]
+    pix = np.stack([xs, ys], axis=-1).astype(np.float64)  # [H,W,2]
+    half = line_width / 2.0
+    covered = np.zeros((height, width), bool)
+    for a, b in zip(points_px[:-1], points_px[1:]):
+        seg = b - a
+        seg_len2 = float(seg @ seg)
+        rel = pix - a
+        if seg_len2 < 1e-9:
+            d2 = np.sum(rel * rel, axis=-1)
+        else:
+            t = np.clip((rel @ seg) / seg_len2, 0.0, 1.0)
+            proj = a + t[..., None] * seg
+            diff = pix - proj
+            d2 = np.sum(diff * diff, axis=-1)
+        covered |= d2 <= half * half
+    fig[covered] = 255
+    return fig
+
+
+def ego_frame_px(points: Sequence[np.ndarray], pos: np.ndarray,
+                 compass: float,
+                 pixels_per_meter: float = PIXELS_PER_METER) -> np.ndarray:
+    """World/GPS-meter points -> ego-frame pixel coords centered on canvas."""
+    r = _rotation(compass)
+    out = []
+    for p in points:
+        x, y = pixels_per_meter * (r.T @ (np.asarray(p) - pos))
+        out.append((x + SIZE_X / 2, y + SIZE_Y / 2))
+    return np.asarray(out)
+
+
+def perpendicular_distance(route_list: Sequence[np.ndarray],
+                           pos: np.ndarray) -> float:
+    """Ego distance to the first distinct route segment (env_wrapper:287-296)."""
+    p0 = np.asarray(route_list[0], np.float64)
+    for i in range(1, len(route_list)):
+        cur = np.asarray(route_list[i], np.float64)
+        seg = cur - p0
+        norm = math.hypot(seg[0], seg[1])
+        if norm > 1e-3:
+            d = abs((cur[1] - p0[1]) * (pos[0] - p0[0])
+                    - (cur[0] - p0[0]) * (pos[1] - p0[1])) / norm
+            return 0.0 if (math.isinf(d) or math.isnan(d)) else d
+    return 0.0
+
+
+def heading_error(far_node: Optional[np.ndarray], near_node: np.ndarray,
+                  pos: np.ndarray, forward: np.ndarray, route_len: int,
+                  state: TurnState, compass: float) -> Tuple[float, float]:
+    """(theta, distance-to-near-node) (env_wrapper.py:484-561).
+
+    `forward` is the ego's unit heading in the same coordinate space as the
+    route (the reference derives it from IMU yaw re-projected through GPS,
+    env_wrapper.py:506-520 — net effect is exactly this vector); theta is
+    the arccos angle between forward and (far_node - ego) with the
+    reference's two-waypoint supplementary-angle correction.
+    """
+    if far_node is None:
+        return 0.0, 0.0
+    distance = float(np.hypot(*(np.asarray(near_node) - pos)))
+
+    vector1 = np.asarray(forward, np.float64)
+    vector2 = np.asarray(far_node) - pos
+    n1 = math.hypot(*vector1)
+    n2 = math.hypot(*vector2)
+    if n1 < 1e-12 or n2 < 1e-12:
+        theta = state.pre_theta
+    else:
+        cosang = float(vector1 @ vector2) / (n1 * n2)
+        cosang = max(-1.0, min(1.0, cosang))
+        theta = math.acos(cosang)
+        if route_len == 2:
+            r = _rotation(compass)
+            _, y4 = PIXELS_PER_METER * (r.T @ vector2)
+            if y4 > 0:
+                theta = math.pi - theta
+    state.pre_theta = theta
+    if distance < 0.5:
+        distance = 0.0
+    if math.isnan(theta):
+        return 0.0, distance
+    return theta, distance
+
+
+def update_turn_state(state: TurnState, route_list: Sequence[np.ndarray],
+                      pos: np.ndarray) -> TurnState:
+    """Axis-change turn detector (env_wrapper.py:302-343).
+
+    Consecutive waypoints moving mostly along x then mostly along y (or vice
+    versa) bracket a turn; `in_turn` is held while the ego is within
+    max(corner radius)+6m of the inferred corner point.
+    """
+    turn_pre = np.asarray(route_list[0], np.float64)
+    for i in range(1, len(route_list)):
+        cur = np.asarray(route_list[i], np.float64)
+        if not state.in_turn:
+            dx = abs(cur[0] - turn_pre[0])
+            dy = abs(cur[1] - turn_pre[1])
+            if dx < 1 or dy < 1:
+                continue
+            direction = 0 if dx < dy else 1
+            if state.turn_first_node is None:
+                state.first_direction = direction
+                state.turn_first_node = cur
+            else:
+                state.last_direction = direction
+                state.turn_last_node = cur
+            turn_pre = cur
+
+    if state.turn_first_node is not None and state.turn_last_node is not None:
+        if state.first_direction == 0:
+            middle = np.array([state.turn_last_node[0],
+                               state.turn_first_node[1]])
+        else:
+            middle = np.array([state.turn_first_node[0],
+                               state.turn_last_node[1]])
+        turn_dis = float(np.hypot(*(middle - pos)))
+        max_dis = max(float(np.hypot(*(middle - state.turn_first_node))),
+                      float(np.hypot(*(middle - state.turn_last_node))))
+        if turn_dis < max_dis + 6:
+            state.in_turn = True
+        elif state.in_turn:
+            state.in_turn = False
+            state.turn_first_node = None
+            state.turn_last_node = None
+            state.first_direction = 0
+            state.last_direction = 0
+    return state
+
+
+def draw_route(route_list: Sequence[np.ndarray], pos: np.ndarray,
+               compass: float, forward: np.ndarray, state: TurnState
+               ) -> Tuple[np.ndarray, float, float, TurnState]:
+    """Full _draw_route equivalent.
+
+    `forward`: ego unit heading in route-coordinate space.
+    Returns (route_fig [256,144] uint8, deviation_distance, theta, state).
+    """
+    px = ego_frame_px(route_list, pos, compass)
+    fig = rasterize_polyline(px)
+
+    # first node distinct from route_list[0] drives the heading error
+    far_node = None
+    p0 = np.asarray(route_list[0])
+    for i in range(1, len(route_list)):
+        p = np.asarray(route_list[i])
+        if abs(p[0] - p0[0]) + abs(p[1] - p0[1]) > 1e-3:
+            far_node = p
+            break
+
+    pep_dis = perpendicular_distance(route_list, pos)
+    theta, distance = heading_error(far_node, p0, pos, forward,
+                                    len(route_list), state, compass)
+    if len(route_list) == 2:
+        distance = pep_dis
+    state = update_turn_state(state, route_list, pos)
+    return fig, distance, theta, state

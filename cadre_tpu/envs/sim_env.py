@@ -1,0 +1,269 @@
+"""Kinematic driving simulator implementing the EnvWrapper contract.
+
+A CARLA-free world for end-to-end training/testing of the full cascade:
+bicycle-model ego vehicle, dense polyline routes (from NoCrash route XMLs or
+synthetic), the 7-criterion runtime, obstacle actors, and a cheap synthetic
+camera. The reward/termination path is byte-identical to the CARLA-backed
+env — only the world behind `_world_*` differs. This is the test seam the
+reference lacks (SURVEY §4): BASELINE configs 2-4 run against it.
+
+Control mapping approximates CARLA vehicle response at 10 Hz:
+steer in [-1,1] -> wheel angle up to ~35 deg on a 2.9 m wheelbase
+(lincoln.mkz2017 scale), throttle -> ~3.5 m/s^2, brake -> ~8 m/s^2.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from cadre_tpu.envs.base_env import BaseDrivingEnv
+from cadre_tpu.envs.criteria import VehicleSnapshot, default_criteria
+from cadre_tpu.envs.indexer import PriorityRouteIndexer, RouteIndexer
+from cadre_tpu.envs.planner import RoutePlanner
+from cadre_tpu.envs.road_option import RoadOption
+from cadre_tpu.envs.route_fig import SIZE_X, SIZE_Y
+from cadre_tpu.envs.route_parser import RouteConfig, interpolate_route
+
+
+@dataclasses.dataclass
+class SimObstacle:
+    pos: np.ndarray
+    radius: float = 1.0
+    kind: str = "vehicle"  # 'vehicle' | 'walker' | 'static'
+    speed: float = 0.0
+    heading: float = 0.0
+
+
+def synthetic_route(rng: np.random.RandomState, n_legs: int = 3,
+                    leg_len: Tuple[float, float] = (40.0, 90.0)
+                    ) -> np.ndarray:
+    """Axis-aligned multi-leg route with 90-degree corners (NoCrash-town
+    style streets, which the turn detector's axis-change heuristic assumes)."""
+    pos = np.zeros(2)
+    heading = np.array([1.0, 0.0])
+    pts = [pos.copy()]
+    for _ in range(n_legs):
+        length = rng.uniform(*leg_len)
+        pos = pos + heading * length
+        pts.append(pos.copy())
+        # alternate axis with a random left/right
+        turn = rng.choice([-1, 1])
+        heading = np.array([-heading[1] * turn, heading[0] * turn])
+    return np.asarray(pts)
+
+
+class SimDrivingEnv(BaseDrivingEnv):
+    def __init__(self, routes_file: Optional[str] = None,
+                 scenario_file: Optional[str] = None,
+                 vehicle_num: Tuple[int, int] = (0, 0),
+                 seed: int = 0, training: bool = True,
+                 use_priority_indexer: Optional[bool] = None,
+                 render_camera: bool = True,
+                 **kwargs):
+        super().__init__(training=training, **kwargs)
+        self._rng = np.random.RandomState(seed)
+        self.render_camera = render_camera
+        self._vehicle_num = vehicle_num
+        if routes_file is not None:
+            if use_priority_indexer is None:
+                use_priority_indexer = training
+            idx_cls = PriorityRouteIndexer if use_priority_indexer \
+                else RouteIndexer
+            self.route_indexer = idx_cls(routes_file, scenario_file,
+                                         vehicle_num=list(vehicle_num))
+        else:
+            self.route_indexer = None
+        # ego state
+        self._pos = np.zeros(2)
+        self._yaw = 0.0
+        self._speed = 0.0
+        self._wheelbase = 2.9
+        self._max_wheel = math.radians(35.0)
+        self._obstacles: List[SimObstacle] = []
+        self._route_xy = np.zeros((2, 2))
+        self._collision = {"static": False, "vehicle": False, "walker": False}
+        self._current_config: Optional[RouteConfig] = None
+
+    # ---------------- world interface ----------------
+
+    def _world_reset(self) -> None:
+        if self.route_indexer is not None and self.route_indexer.peek():
+            cfg = self.route_indexer.next()
+            self._current_config = cfg
+            pts = np.asarray([w.xy for w in cfg.trajectory])
+            self.route_name = cfg.index
+            n_vehicles = cfg.vehicle_num or 0
+            n_walkers = cfg.walker_num or 0
+            st = cfg.st or 0
+        else:
+            pts = synthetic_route(self._rng)
+            self.route_name = int(self._rng.randint(10_000))
+            n_vehicles, n_walkers = self._vehicle_num
+            st = 0
+
+        dense = interpolate_route(pts, resolution=1.0)
+        dense = dense[st:] if st < len(dense) - 2 else dense
+        self._route_xy = dense
+        start = dense[0]
+        d0 = dense[min(3, len(dense) - 1)] - start
+        self._yaw = math.degrees(math.atan2(d0[1], d0[0]))
+        self._pos = start.astype(np.float64).copy()
+        self._speed = 0.0
+        self._collision = {"static": False, "vehicle": False, "walker": False}
+
+        # background actors parked near the route
+        self._obstacles = []
+        total = len(dense)
+        for _ in range(int(n_vehicles or 0)):
+            i = self._rng.randint(total // 4, total)
+            lateral = self._rng.uniform(-1.0, 1.0)
+            self._obstacles.append(SimObstacle(
+                pos=dense[i] + lateral, radius=1.2, kind="vehicle"))
+        for _ in range(int(n_walkers or 0)):
+            i = self._rng.randint(total // 4, total)
+            self._obstacles.append(SimObstacle(
+                pos=dense[i] + self._rng.uniform(-3, 3, 2), radius=0.4,
+                kind="walker",
+                speed=self._rng.uniform(0.3, 1.2),
+                heading=self._rng.uniform(0, 2 * math.pi)))
+
+        blocked_s = 180.0 if self.training else 800 * self.dt
+        self._criteria = default_criteria(dense, dt=self.dt,
+                                          blocked_seconds=blocked_s)
+        planner = RoutePlanner(min_distance=4.0, max_distance=50.0)
+        cmds = [RoadOption.LANEFOLLOW] * len(dense)
+        planner.set_route_meters(dense, cmds)
+        self._planner = planner
+
+    def _planner_step(self, gps):
+        return self._planner.run_step(gps)
+
+    def _world_step(self, control: Sequence[float]) -> None:
+        steer, throttle, brake = float(control[0]), float(control[1]), \
+            float(control[2])
+        steer = max(-1.0, min(1.0, steer))
+        throttle = max(0.0, min(1.0, throttle))
+        brake = max(0.0, min(1.0, brake))
+
+        accel = 3.5 * throttle - 8.0 * brake - 0.08 * self._speed
+        self._speed = max(0.0, self._speed + accel * self.dt)
+        wheel = steer * self._max_wheel
+        yaw_rate = self._speed / self._wheelbase * math.tan(wheel)
+        self._yaw += math.degrees(yaw_rate * self.dt)
+        heading = np.array([math.cos(math.radians(self._yaw)),
+                            math.sin(math.radians(self._yaw))])
+        self._pos = self._pos + heading * self._speed * self.dt
+
+        # walkers wander
+        for ob in self._obstacles:
+            if ob.kind == "walker" and ob.speed > 0:
+                ob.pos = ob.pos + ob.speed * self.dt * np.array(
+                    [math.cos(ob.heading), math.sin(ob.heading)])
+
+        # collision check (ego radius ~1.2 m)
+        self._collision = {"static": False, "vehicle": False, "walker": False}
+        for ob in self._obstacles:
+            if float(np.hypot(*(ob.pos - self._pos))) < ob.radius + 1.2:
+                key = "walker" if ob.kind == "walker" else (
+                    "vehicle" if ob.kind == "vehicle" else "static")
+                self._collision[key] = True
+
+        snap = VehicleSnapshot(
+            pos=self._pos.copy(), yaw=self._yaw, speed=self._speed,
+            collided_static=self._collision["static"],
+            collided_vehicle=self._collision["vehicle"],
+            collided_pedestrian=self._collision["walker"])
+        for crit in self._criteria:
+            crit.update(snap)
+
+    def _nearest_obstacle_ahead(self) -> float:
+        """Forward obstacle distance within 11m cone, else -1 (the obstacle
+        sensor contract, env_wrapper.py:832-837)."""
+        heading = np.array([math.cos(math.radians(self._yaw)),
+                            math.sin(math.radians(self._yaw))])
+        best = -1.0
+        for ob in self._obstacles:
+            rel = ob.pos - self._pos
+            dist = float(np.hypot(*rel))
+            if dist > 11.0 or dist < 1e-6:
+                continue
+            ahead = float(rel @ heading)
+            if ahead <= 0:
+                continue
+            lateral = abs(float(rel[0] * heading[1] - rel[1] * heading[0]))
+            if lateral < 1.5:
+                if best < 0 or dist < best:
+                    best = dist
+        return best
+
+    def _render_rgb(self) -> np.ndarray:
+        """Cheap forward-view rendering: sky/ground + projected route ribbon
+        + obstacle blobs. State-dependent enough for the encoder to learn."""
+        h, w = SIZE_X, SIZE_Y  # 144 x 256
+        img = np.zeros((h, w, 3), np.uint8)
+        img[: h // 2] = (135, 180, 235)   # sky
+        img[h // 2:] = (90, 90, 90)       # asphalt
+        if not self.render_camera:
+            return img
+        yaw = math.radians(self._yaw)
+        cos_y, sin_y = math.cos(yaw), math.sin(yaw)
+        f = 128.0  # focal (pixels), 90-degree fov at 256 wide
+        horizon = h // 2
+        cam_h = 1.3
+        for p in self._route_xy[:: 2]:
+            rel = p - self._pos
+            xf = rel[0] * cos_y + rel[1] * sin_y        # forward
+            yl = -rel[0] * sin_y + rel[1] * cos_y       # left(+)
+            if xf < 1.0 or xf > 60.0:
+                continue
+            u = int(w / 2 - f * yl / xf)
+            v = int(horizon + f * cam_h / xf)
+            if 0 <= u < w and 0 <= v < h:
+                r = max(1, int(6.0 / xf * 4))
+                img[max(0, v - r):min(h, v + r),
+                    max(0, u - r):min(w, u + r)] = (200, 200, 200)
+        for ob in self._obstacles:
+            rel = ob.pos - self._pos
+            xf = rel[0] * cos_y + rel[1] * sin_y
+            yl = -rel[0] * sin_y + rel[1] * cos_y
+            if xf < 1.0 or xf > 60.0:
+                continue
+            u = int(w / 2 - f * yl / xf)
+            v = int(horizon + f * cam_h / xf)
+            if 0 <= u < w and 0 <= v < h:
+                r = max(2, int(f * ob.radius / xf))
+                color = (200, 40, 40) if ob.kind != "walker" else (40, 40, 200)
+                img[max(0, v - 2 * r):min(h, v), max(0, u - r):min(w, u + r)] \
+                    = color
+        return img
+
+    def _world_tick(self) -> Dict[str, Any]:
+        # compass = yaw: the draw rotation adds pi/2, mapping ego-forward to
+        # "up" on the 256-tall canvas (matching the reference's ego-centric
+        # route figure orientation)
+        yaw_rad = math.radians(self._yaw)
+        return {
+            "rgb": self._render_rgb(),
+            "gps": self._pos.copy(),
+            "full_gps": np.array([self._pos[0], self._pos[1], 0.0]),
+            "speed": self._speed,
+            "compass": yaw_rad,
+            "forward": np.array([math.cos(yaw_rad), math.sin(yaw_rad)]),
+            "imu": [0.0, 0.0, 0.0, self._yaw],
+            "obstacle": self._nearest_obstacle_ahead(),
+            "target_diff": 0,
+            "topdown_seg": None,
+        }
+
+    def _cleanup_episode(self) -> None:
+        super()._cleanup_episode()
+        if isinstance(self.route_indexer, PriorityRouteIndexer) and \
+                self._current_config is not None:
+            for crit in self._criteria:
+                if crit.name == "RouteCompletionTest":
+                    self.route_indexer.update_route(
+                        self._current_config.index, crit.actual_value,
+                        crit.current_index)
