@@ -1,0 +1,53 @@
+"""Multi-checkpoint ensemble evaluation.
+
+Contract: eval.py:12-64 — load K snapshots (recommended 6-8), act all per
+step, average controls with brake thresholding (agent.py:83-95), run
+`eval_episode` episodes, append per-route completion ratios to
+eval_completion_ratio.csv (handled by the env). TPU-native: the K agents are
+one vmap axis (rl/agent.EnsembleAgent), so the K cascade forwards the
+reference runs sequentially are a single fused device step.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from cadre_tpu.configs.agent_config import EvalConfig, avg_action
+from cadre_tpu.rl.agent import CadreAgent, EnsembleAgent
+from cadre_tpu.utils.logger import logger
+
+
+@dataclasses.dataclass
+class EvalEpisodeResult:
+    episode: int
+    steps: int
+    completion_ratio: float
+    error_message: str
+
+
+def evaluate(env, agent: CadreAgent, snapshot_paths: Sequence[str],
+             eval_cfg: Optional[EvalConfig] = None, seed: int = 0,
+             max_steps: int = 6000) -> List[EvalEpisodeResult]:
+    eval_cfg = eval_cfg or EvalConfig()
+    ens = EnsembleAgent(agent, list(snapshot_paths))
+    rng = jax.random.PRNGKey(seed)
+    results: List[EvalEpisodeResult] = []
+    for episode in range(eval_cfg.eval_episode):
+        obs = env.reset()
+        done, steps = False, 0
+        msg = ""
+        while not done and steps < max_steps:
+            rng, key = jax.random.split(rng)
+            actions = ens.act(obs, key)
+            control = avg_action(actions, eval_cfg.brake_threshold)
+            obs, _, done, info = env.step(control)
+            msg = info.get("error_message", "")
+            steps += 1
+        ratio = getattr(env, "completion_ratio", 0.0)
+        results.append(EvalEpisodeResult(episode, steps, ratio, msg))
+        logger.log(f"eval episode {episode}: {steps} steps, completion "
+                   f"{ratio:.1f}%, end: {msg!r}")
+    return results
