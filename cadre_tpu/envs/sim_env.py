@@ -199,15 +199,20 @@ class SimDrivingEnv(BaseDrivingEnv):
                     best = dist
         return best
 
-    def _render_rgb(self) -> np.ndarray:
+    # CARLA-0.9.10 reduced seg classes (Config/auto_danet.py:123-130):
+    # 0 unlabeled, 1 road, 2 car, 3 person, 7 road line
+    def _render_rgb(self, with_seg: bool = False):
         """Cheap forward-view rendering: sky/ground + projected route ribbon
-        + obstacle blobs. State-dependent enough for the encoder to learn."""
+        + obstacle blobs. State-dependent enough for the encoder to learn.
+        With `with_seg`, also returns the ground-truth class map [H,W]."""
         h, w = SIZE_X, SIZE_Y  # 144 x 256
         img = np.zeros((h, w, 3), np.uint8)
+        seg = np.zeros((h, w), np.uint8)
         img[: h // 2] = (135, 180, 235)   # sky
         img[h // 2:] = (90, 90, 90)       # asphalt
+        seg[h // 2:] = 1                  # road
         if not self.render_camera:
-            return img
+            return (img, seg) if with_seg else img
         yaw = math.radians(self._yaw)
         cos_y, sin_y = math.cos(yaw), math.sin(yaw)
         f = 128.0  # focal (pixels), 90-degree fov at 256 wide
@@ -225,6 +230,8 @@ class SimDrivingEnv(BaseDrivingEnv):
                 r = max(1, int(6.0 / xf * 4))
                 img[max(0, v - r):min(h, v + r),
                     max(0, u - r):min(w, u + r)] = (200, 200, 200)
+                seg[max(0, v - r):min(h, v + r),
+                    max(0, u - r):min(w, u + r)] = 7  # road line
         for ob in self._obstacles:
             rel = ob.pos - self._pos
             xf = rel[0] * cos_y + rel[1] * sin_y
@@ -238,7 +245,10 @@ class SimDrivingEnv(BaseDrivingEnv):
                 color = (200, 40, 40) if ob.kind != "walker" else (40, 40, 200)
                 img[max(0, v - 2 * r):min(h, v), max(0, u - r):min(w, u + r)] \
                     = color
-        return img
+                seg[max(0, v - 2 * r):min(h, v),
+                    max(0, u - r):min(w, u + r)] = \
+                    2 if ob.kind != "walker" else 3
+        return (img, seg) if with_seg else img
 
     def _world_tick(self) -> Dict[str, Any]:
         # compass = yaw: the draw rotation adds pi/2, mapping ego-forward to

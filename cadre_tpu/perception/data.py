@@ -1,0 +1,184 @@
+"""Perception data pipeline: collection, sharded storage, batched loading.
+
+The reference imports a `DataloaderFactory` from a `Data/` module that was
+never shipped (SURVEY §2.3 MISSING module); this pipeline is designed fresh
+from the batch-tuple contract in Models/auto_trainer.py:331-339 (camera rgb,
+seg map, route raster, command, speed, target_speed, steer, throttle,
+light_state, light_dist per frame).
+
+Storage: .npz shards of uint8 frames + float/int labels. Collection: drive
+an expert through a BaseDrivingEnv and record per-frame tuples (the role of
+statics/vae_agent.py's debug_save). Loading: epoch-shuffled host batching
+with optional augmentation (noise/blur/channel-dropout per
+Config/auto_basic_config.py:51-79), emitting NHWC model-ready dicts.
+"""
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+FIELDS = ("camera_rgb", "camera_seg", "route_fig", "speed", "target_speed",
+          "steer", "throttle", "command", "light_state", "light_dist")
+
+
+def collect_dataset(env, expert, n_frames: int, out_dir: str,
+                    shard_size: int = 512, seed: int = 0) -> List[str]:
+    """Run the expert and record frames to .npz shards."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    buf: Dict[str, List[Any]] = {k: [] for k in FIELDS}
+    shards: List[str] = []
+    tick = env.reset()
+    frames = 0
+    while frames < n_frames:
+        control = expert.act(env, tick)
+        rgb, seg = env._render_rgb(with_seg=True)
+        buf["camera_rgb"].append(rgb)
+        buf["camera_seg"].append(seg)
+        buf["route_fig"].append(tick["route_fig"][-1]
+                                if "route_fig" in tick
+                                else tick["last_route_fig"])
+        buf["speed"].append(tick.get("speed", 0.0))
+        buf["target_speed"].append(7.0)
+        buf["steer"].append(control[0])
+        buf["throttle"].append(control[1])
+        buf["command"].append(tick.get("command", 3))
+        buf["light_state"].append(0)
+        buf["light_dist"].append(-1.0)
+        frames += 1
+
+        tick, _, done, _ = env.step(control)
+        if done:
+            tick = env.reset()
+        if len(buf["camera_rgb"]) >= shard_size or frames == n_frames:
+            path = os.path.join(out_dir, f"shard_{len(shards):05d}.npz")
+            np.savez_compressed(
+                path, **{k: np.asarray(v) for k, v in buf.items()})
+            shards.append(path)
+            buf = {k: [] for k in FIELDS}
+    return shards
+
+
+@dataclasses.dataclass
+class DatasetStats:
+    """Class-weight statistics (carla_perception/train.py:87-103)."""
+
+    seg_class_weight: np.ndarray
+    light_class_weight: np.ndarray
+    command_class_weight: np.ndarray
+    num_frames: int
+
+
+def compute_stats(shards: Sequence[str], num_seg_classes: int = 8,
+                  num_light_classes: int = 4, num_commands: int = 4
+                  ) -> DatasetStats:
+    seg_counts = np.zeros(num_seg_classes)
+    light_counts = np.zeros(num_light_classes)
+    cmd_counts = np.zeros(num_commands)
+    n = 0
+    for path in shards:
+        with np.load(path) as z:
+            seg_counts += np.bincount(z["camera_seg"].ravel(),
+                                      minlength=num_seg_classes)
+            light_counts += np.bincount(z["light_state"].astype(np.int64),
+                                        minlength=num_light_classes)
+            cmd_counts += np.bincount(z["command"].astype(np.int64),
+                                      minlength=num_commands)
+            n += len(z["speed"])
+
+    def inv_freq(c):
+        total = c.sum()
+        w = np.where(c > 0, total / np.maximum(c, 1), 0.0)
+        return (w / max(w.max(), 1e-9)).astype(np.float32)
+
+    return DatasetStats(inv_freq(seg_counts), inv_freq(light_counts),
+                        inv_freq(cmd_counts), n)
+
+
+def _augment(rgb: np.ndarray, rng: np.random.RandomState,
+             noise_std: float = 4.0, dropout_p: float = 0.05) -> np.ndarray:
+    """Noise + coarse pixel dropout (auto_basic_config.py:56-61 style)."""
+    out = rgb.astype(np.float32)
+    out = out + rng.randn(*out.shape).astype(np.float32) * noise_std
+    mask = rng.rand(*out.shape[:3], 1) > dropout_p
+    out = out * mask
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+class PerceptionDataLoader:
+    """Epoch-shuffled host batching over .npz shards -> model-ready dicts.
+
+    Yields: x [B,H,W,4] f32 (rgb/255 ++ route raster max-normalized),
+    camera_seg [B,H,W] i32, route_fig [B,H,W,1] f32 target, speed [B,1],
+    steer/throttle [B], command/light_state [B] i32, light_dist [B].
+    """
+
+    def __init__(self, root_dir: str, batch_size: int = 48, seed: int = 0,
+                 augment: bool = False, drop_last: bool = True):
+        self.paths = sorted(glob.glob(os.path.join(root_dir, "*.npz")))
+        if not self.paths:
+            raise FileNotFoundError(f"no .npz shards under {root_dir}")
+        self.batch_size = batch_size
+        self.augment = augment
+        self.drop_last = drop_last
+        self._rng = np.random.RandomState(seed)
+        self._sizes = []
+        for p in self.paths:
+            with np.load(p) as z:
+                self._sizes.append(len(z["speed"]))
+        self.num_frames = int(sum(self._sizes))
+
+    def __len__(self) -> int:
+        return self.num_frames // self.batch_size
+
+    def _frame_batch(self, z, idx) -> Dict[str, np.ndarray]:
+        rgb = z["camera_rgb"][idx]
+        if self.augment:
+            rgb = _augment(rgb, self._rng)
+        route_raw = z["route_fig"][idx].astype(np.float32)  # [B,256,144]
+        m = route_raw.max(axis=(1, 2), keepdims=True)
+        route = np.where(m > 0, route_raw / np.maximum(m, 1e-6), route_raw)
+        route = np.swapaxes(route, 1, 2)[..., None]         # [B,144,256,1]
+        x = np.concatenate([rgb.astype(np.float32) / 255.0, route], axis=-1)
+        return {
+            "x": x,
+            "camera_rgb": rgb.astype(np.float32) / 255.0,
+            "camera_seg": z["camera_seg"][idx].astype(np.int32),
+            "route_fig": route.astype(np.float32),
+            "speed": z["speed"][idx].astype(np.float32)[:, None],
+            "target_speed": z["target_speed"][idx].astype(np.float32),
+            "steer": z["steer"][idx].astype(np.float32),
+            "throttle": z["throttle"][idx].astype(np.float32),
+            "command": z["command"][idx].astype(np.int32),
+            "light_state": z["light_state"][idx].astype(np.int32),
+            "light_dist": z["light_dist"][idx].astype(np.float32),
+        }
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        shard_order = self._rng.permutation(len(self.paths))
+        leftover: Optional[Dict[str, np.ndarray]] = None
+        for si in shard_order:
+            with np.load(self.paths[si]) as z:
+                n = self._sizes[si]
+                order = self._rng.permutation(n)
+                start = 0
+                while start < n:
+                    take = self.batch_size if leftover is None else \
+                        self.batch_size - len(leftover["speed"])
+                    idx = np.sort(order[start:start + take])
+                    start += take
+                    batch = self._frame_batch(z, idx)
+                    if leftover is not None:
+                        batch = {k: np.concatenate([leftover[k], batch[k]])
+                                 for k in batch}
+                        leftover = None
+                    if len(batch["speed"]) == self.batch_size:
+                        yield batch
+                    else:
+                        leftover = batch
+        if leftover is not None and not self.drop_last:
+            yield leftover

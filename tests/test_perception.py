@@ -1,0 +1,108 @@
+"""Perception pipeline tests: losses, data collection/loading, train step."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cadre_tpu.configs.danet_config import PerceptionTrainParams, danet_params
+from cadre_tpu.envs.expert import OracleExpert
+from cadre_tpu.envs.sim_env import SimDrivingEnv
+from cadre_tpu.perception.data import (
+    PerceptionDataLoader,
+    collect_dataset,
+    compute_stats,
+)
+from cadre_tpu.perception.losses import (
+    recon_loss,
+    seg_loss,
+    weighted_cross_entropy,
+)
+from cadre_tpu.perception.trainer import PerceptionTrainer
+
+torch = pytest.importorskip("torch")
+
+SMALL = danet_params(da_feature_channel=64, inter_att_dims=48, z_dims=32)
+
+
+def test_weighted_ce_matches_torch():
+    tl = torch.nn.CrossEntropyLoss(weight=torch.tensor([1.0, 2.0, 0.5]))
+    logits = torch.randn(6, 3)
+    labels = torch.tensor([0, 1, 2, 1, 0, 2])
+    ref = tl(logits, labels).item()
+    out = weighted_cross_entropy(jnp.asarray(logits.numpy()),
+                                 jnp.asarray(labels.numpy()),
+                                 jnp.asarray([1.0, 2.0, 0.5]))
+    np.testing.assert_allclose(float(out), ref, rtol=1e-5)
+
+
+def test_seg_and_recon_scaling():
+    # seg loss scaled by h*w; recon by c*h*w (cal_losses.py danet branch)
+    logits = jnp.zeros((2, 4, 6, 3))
+    labels = jnp.zeros((2, 4, 6), jnp.int32)
+    s = seg_loss(logits, labels)
+    np.testing.assert_allclose(float(s), -np.log(1 / 3) * 24, rtol=1e-5)
+    pred = jnp.zeros((2, 4, 6, 3))
+    tgt = jnp.ones((2, 4, 6, 3))
+    np.testing.assert_allclose(float(recon_loss(pred, tgt)), 72.0, rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("percept_data"))
+    env = SimDrivingEnv(seed=0, seq_length=2, vehicle_num=(4, 2))
+    shards = collect_dataset(env, OracleExpert(), 40, out, shard_size=16)
+    assert len(shards) == 3
+    return out
+
+
+def test_collect_and_load(dataset_dir):
+    loader = PerceptionDataLoader(dataset_dir, batch_size=8, seed=1)
+    assert loader.num_frames == 40
+    assert len(loader) == 5
+    batches = list(loader)
+    assert len(batches) == 5
+    b = batches[0]
+    assert b["x"].shape == (8, 144, 256, 4)
+    assert b["camera_seg"].shape == (8, 144, 256)
+    assert b["route_fig"].shape == (8, 144, 256, 1)
+    assert b["x"].min() >= 0.0 and b["x"].max() <= 1.0
+    assert set(np.unique(b["camera_seg"])) <= {0, 1, 2, 3, 7}
+
+
+def test_stats_class_weights(dataset_dir):
+    loader = PerceptionDataLoader(dataset_dir, batch_size=8)
+    stats = compute_stats(loader.paths)
+    assert stats.num_frames == 40
+    assert stats.seg_class_weight.shape == (8,)
+    # road (1) dominates -> lowest weight among present classes
+    present = stats.seg_class_weight > 0
+    assert stats.seg_class_weight[1] <= stats.seg_class_weight[present].max()
+
+
+def test_trainer_loss_decreases(dataset_dir, tmp_path):
+    loader = PerceptionDataLoader(dataset_dir, batch_size=8, seed=2)
+    stats = compute_stats(loader.paths)
+    tp = PerceptionTrainParams(batch_size=8, max_epochs=3, warmup_epochs=1)
+    trainer = PerceptionTrainer(SMALL, tp, steps_per_epoch=len(loader),
+                                rng=jax.random.PRNGKey(0),
+                                seg_class_weight=stats.seg_class_weight,
+                                light_class_weight=stats.light_class_weight)
+    first = trainer.solve(loader, epochs=1, work_dir=str(tmp_path),
+                          save_interval=1)
+    second = trainer.solve(loader, epochs=1)
+    assert np.isfinite(second["total"])
+    assert second["total"] < first["total"]
+    # checkpoint written and loads
+    ckpt_path = tmp_path / "net_epoch0.msgpack"
+    assert ckpt_path.exists()
+    trainer.load(str(ckpt_path))
+    # eval metrics include accuracies
+    metrics = trainer.evaluate(loader)
+    assert 0.0 <= metrics["seg_accuracy"] <= 1.0
+    assert 0.0 <= metrics["light_accuracy"] <= 1.0
+    # export for the RL agent
+    variables = trainer.export_variables()
+    assert "params" in variables and "batch_stats" in variables

@@ -1,0 +1,72 @@
+"""Perception pretraining entry point (the reference's
+`python carla_perception/train.py --config auto_danet`).
+
+With --collect, first drives the rule-based expert through the simulator to
+build the IL dataset (the role of statics/vae_agent.py), then trains.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+
+def main():
+    p = argparse.ArgumentParser(description="Train the DANet encoder")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--collect", type=int, default=0,
+                   help="collect N expert frames into --data-dir first")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=48)
+    p.add_argument("--work-dir", default="result/perception")
+    p.add_argument("--save-interval", type=int, default=5)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--small", action="store_true")
+    p.add_argument("--augment", action="store_true")
+    args = p.parse_args()
+
+    from cadre_tpu.configs.danet_config import (
+        PerceptionTrainParams,
+        danet_params,
+    )
+    from cadre_tpu.perception.data import (
+        PerceptionDataLoader,
+        collect_dataset,
+        compute_stats,
+    )
+    from cadre_tpu.perception.trainer import PerceptionTrainer
+    from cadre_tpu.utils.logger import setup_logger
+
+    setup_logger(args.work_dir)
+
+    if args.collect > 0:
+        from cadre_tpu.envs.expert import OracleExpert
+        from cadre_tpu.envs.sim_env import SimDrivingEnv
+
+        env = SimDrivingEnv(seed=args.seed, seq_length=2,
+                            vehicle_num=(8, 4))
+        collect_dataset(env, OracleExpert(), args.collect, args.data_dir,
+                        seed=args.seed)
+
+    loader = PerceptionDataLoader(args.data_dir, batch_size=args.batch_size,
+                                  seed=args.seed, augment=args.augment)
+    stats = compute_stats(loader.paths)
+    cfg = danet_params() if not args.small else danet_params(
+        da_feature_channel=64, inter_att_dims=48, z_dims=32)
+    tp = PerceptionTrainParams(batch_size=args.batch_size,
+                               max_epochs=args.epochs)
+    trainer = PerceptionTrainer(
+        cfg, tp, steps_per_epoch=max(1, len(loader)),
+        rng=jax.random.PRNGKey(args.seed),
+        seg_class_weight=stats.seg_class_weight,
+        light_class_weight=stats.light_class_weight)
+    if args.resume:
+        trainer.load(args.resume)
+    trainer.solve(loader, epochs=args.epochs, work_dir=args.work_dir,
+                  save_interval=args.save_interval)
+
+
+if __name__ == "__main__":
+    main()
