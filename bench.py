@@ -17,28 +17,46 @@ import time
 import numpy as np
 
 
-def bench_jax(batch: int = 32, iters: int = 50, warmup: int = 5):
+def bench_jax(batch: int = 256, iters: int = 30, use_bf16: bool = True):
+    """Encoder latent throughput with chained iterations inside ONE jit.
+
+    The remote-TPU tunnel adds ~30 ms per dispatch/fetch round trip and its
+    block_until_ready is unreliable, so per-call python loops measure the
+    tunnel, not the chip. A lax.scan chain with a data dependency between
+    iterations (and a single host fetch of a result-dependent scalar)
+    measures true device throughput.
+    """
     import jax
     import jax.numpy as jnp
 
     from cadre_tpu.configs.danet_config import danet_params
     from cadre_tpu.models.danet import DANet, create_danet
 
+    from cadre_tpu.utils.precision import bf16_variables
+
     cfg = danet_params()
     model, variables = create_danet(cfg, jax.random.PRNGKey(0))
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    if use_bf16:
+        variables = bf16_variables(variables)
     x = jax.random.uniform(jax.random.PRNGKey(1),
                            (batch, cfg.image_height, cfg.image_width,
-                            cfg.input_channel))
-    fn = jax.jit(lambda v, x: model.apply(v, x, method=DANet.latent))
-    z = fn(variables, x)
-    jax.block_until_ready(z)
-    for _ in range(warmup):
-        z = fn(variables, x)
-    jax.block_until_ready(z)
+                            cfg.input_channel)).astype(dtype)
+
+    def chained(v, x0):
+        def body(x, _):
+            z = model.apply(v, x, method=DANet.latent)
+            # data dependency: perturb the next input with the latent
+            bump = jnp.tanh(z[:, :1, None, None]) * jnp.asarray(1e-3, dtype)
+            return x0 + bump, z.astype(jnp.float32).sum()
+
+        _, sums = jax.lax.scan(body, x0, None, length=iters)
+        return sums.sum()
+
+    fn = jax.jit(chained)
+    float(fn(variables, x))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        z = fn(variables, x)
-    jax.block_until_ready(z)
+    s = float(fn(variables, x))
     dt = (time.perf_counter() - t0) / iters
     return batch / dt, jax.default_backend()
 
@@ -73,7 +91,8 @@ def main():
         "vs_baseline": round(jax_fps / torch_fps, 2),
         "baseline_torch_cpu_fps": round(torch_fps, 1),
         "backend": backend,
-        "batch": 32,
+        "batch": 256,
+        "dtype": "bfloat16",
     }))
 
 

@@ -45,6 +45,8 @@ class DANetParams:
     # encoder output geometry (stride-32 on 144x256)
     feat_h: int = 5
     feat_w: int = 8
+    # fused PAM+CAM Pallas kernel for the dual-attention head (TPU only)
+    use_fused_attention: bool = False
 
     @property
     def latent_dim(self) -> int:

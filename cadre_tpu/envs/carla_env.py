@@ -1,0 +1,400 @@
+"""CARLA-backed driving environment implementing the EnvWrapper contract.
+
+Contract: env_wrapper.py:58-1013 — client connect (60 s timeout), synchronous
+mode at fixed_delta 1/frame_rate, traffic manager on port+3, per-episode
+route construction with curriculum indexing, the reference's five sensors
+(rgb camera 256x144 fov90 at x=1.3 z=1.3, imu, gnss, speedometer, obstacle
+distance=11 hit_radius=0.5 only_dynamics), obstacle lane/heading filtering
+(:944-979), and GPS-space route following. Reward/termination/route-figure
+logic is shared with the simulator via BaseDrivingEnv — byte-identical
+decomposed rewards either way.
+
+Requires the `carla` Python package and a running server; everything is
+lazily imported so the rest of the framework works without it.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from cadre_tpu.envs.base_env import BaseDrivingEnv
+from cadre_tpu.envs.carla.provider import CarlaProvider, GameTime
+from cadre_tpu.envs.carla.sensors import (
+    CallBack,
+    SensorInterface,
+    SpeedometerReader,
+)
+from cadre_tpu.envs.criteria import VehicleSnapshot, default_criteria
+from cadre_tpu.envs.indexer import PriorityRouteIndexer, RouteIndexer
+from cadre_tpu.envs.planner import GPS_MEAN, GPS_SCALE, RoutePlanner
+from cadre_tpu.envs.road_option import RoadOption
+
+EGO_MODEL = "vehicle.lincoln.mkz2017"  # route_scenario.py:260
+
+DEFAULT_SENSORS = [
+    {"type": "sensor.camera.rgb", "x": 1.3, "y": 0.0, "z": 1.3,
+     "roll": 0.0, "pitch": 0.0, "yaw": 0.0,
+     "width": 256, "height": 144, "fov": 90, "id": "rgb"},
+    {"type": "sensor.other.imu", "x": 0.0, "y": 0.0, "z": 0.0,
+     "roll": 0.0, "pitch": 0.0, "yaw": 0.0, "sensor_tick": 0.05,
+     "id": "imu"},
+    {"type": "sensor.other.gnss", "x": 0.0, "y": 0.0, "z": 0.0,
+     "roll": 0.0, "pitch": 0.0, "yaw": 0.0, "sensor_tick": 0.01,
+     "id": "gps"},
+    {"type": "sensor.speedometer", "reading_frequency": 20, "id": "speed"},
+    {"type": "sensor.other.obstacle", "x": 0.0, "y": 0.0, "z": 0.0,
+     "roll": 0.0, "pitch": 0.0, "yaw": 0.0, "id": "obstacle"},
+]
+
+
+class CarlaDrivingEnv(BaseDrivingEnv):
+    def __init__(self, host: str = "localhost", port: int = 8010,
+                 town: str = "Town01", routes_file: Optional[str] = None,
+                 scenario_file: Optional[str] = None,
+                 vehicle_num: Tuple[int, int] = (0, 0),
+                 client_timeout: float = 60.0, tm_seed: int = 0,
+                 sensor_list: Optional[List[dict]] = None,
+                 training: bool = True, **kwargs):
+        super().__init__(training=training, **kwargs)
+        import carla
+
+        self._carla = carla
+        self.client = carla.Client(host, port)
+        self.client.set_timeout(client_timeout)
+        self.world = self.client.load_world(town)
+        self.tm_port = port + 3
+        self.traffic_manager = self.client.get_trafficmanager(self.tm_port)
+        self._tm_seed = tm_seed
+
+        settings = self.world.get_settings()
+        settings.synchronous_mode = True
+        settings.fixed_delta_seconds = self.dt
+        self.world.apply_settings(settings)
+
+        self.provider = CarlaProvider()
+        self.provider.training = training
+        self.provider.set_client(self.client)
+        self.provider.set_world(self.world)
+        self.provider.set_tm_port(self.tm_port)
+        self.game_time = GameTime()
+
+        self._sensor_specs = sensor_list or DEFAULT_SENSORS
+        self._sensors: List[Any] = []
+        self.sensor_interface: Optional[SensorInterface] = None
+        self._speedometer: Optional[SpeedometerReader] = None
+        self.ego = None
+        self._collision_flags = {"static": False, "vehicle": False,
+                                 "walker": False}
+        self._vehicle_num = vehicle_num
+        self._timeout = client_timeout
+        if routes_file:
+            idx_cls = PriorityRouteIndexer if training else RouteIndexer
+            self.route_indexer = idx_cls(routes_file, scenario_file,
+                                         vehicle_num=list(vehicle_num))
+        else:
+            raise ValueError("CarlaDrivingEnv requires a routes_file")
+
+    # ---------------- route building ----------------
+
+    def _trace_route(self, keypoints: np.ndarray) -> List[Tuple[Any, RoadOption]]:
+        """Dense map-aware trace start->end (route_manipulation.py:132-169)."""
+        carla = self._carla
+        try:
+            from agents.navigation.global_route_planner import (
+                GlobalRoutePlanner,
+            )
+
+            grp = GlobalRoutePlanner(self.provider.map, 1.0)
+            route = []
+            for a, b in zip(keypoints[:-1], keypoints[1:]):
+                la = carla.Location(x=float(a[0]), y=float(a[1]))
+                lb = carla.Location(x=float(b[0]), y=float(b[1]))
+                route.extend(grp.trace_route(la, lb))
+            return [(wp.transform, opt) for wp, opt in route]
+        except ImportError:
+            # fall back to straight-line interpolation (no map topology)
+            from cadre_tpu.envs.route_parser import interpolate_route
+
+            dense = interpolate_route(keypoints, 1.0)
+            out = []
+            for p in dense:
+                tf = carla.Transform(carla.Location(x=float(p[0]),
+                                                    y=float(p[1])))
+                out.append((tf, RoadOption.LANEFOLLOW))
+            return out
+
+    def _to_gps(self, transform) -> Dict[str, float]:
+        """World transform -> geo location via the map's geo-reference."""
+        loc = transform.location
+        geo = self.provider.map.transform_to_geolocation(loc)
+        return {"lat": geo.latitude, "lon": geo.longitude, "z": geo.altitude}
+
+    # ---------------- world interface ----------------
+
+    def _world_reset(self) -> None:
+        carla = self._carla
+        # anti-slowdown reset (env_wrapper.py:582-599)
+        self._destroy_sensors()
+        self.provider.cleanup()
+        self.game_time.restart()
+        self.provider.set_client(self.client)
+        self.provider.set_world(self.world)
+        self.traffic_manager.set_synchronous_mode(True)
+        self.traffic_manager.set_random_device_seed(self._tm_seed)
+        self.world.tick()
+
+        cfg = self.route_indexer.next()
+        self._current_config = cfg
+        self.route_name = cfg.index
+        keypoints = np.asarray([w.xy for w in cfg.trajectory])
+        route = self._trace_route(keypoints)
+        self._route_transforms = route
+
+        # ego at the first waypoint (elevated to avoid ground collision)
+        start_tf = carla.Transform(
+            carla.Location(route[0][0].location.x, route[0][0].location.y,
+                           route[0][0].location.z + 0.5),
+            route[0][0].rotation)
+        self.ego = self.provider.spawn_actor(EGO_MODEL, start_tf,
+                                             rolename="hero")
+        if self.ego is None:
+            raise RuntimeError("failed to spawn ego vehicle")
+
+        # planner over the GPS-encoded route
+        gps_plan = [(self._to_gps(tf), opt) for tf, opt in route]
+        planner = RoutePlanner(min_distance=4.0, max_distance=50.0)
+        planner.set_route(gps_plan, gps=True)
+        self._planner = planner
+
+        # criteria over meter-space route points
+        route_xy = np.asarray([[tf.location.x, tf.location.y]
+                               for tf, _ in route])
+        # criteria consume GPS-space positions: convert route to gps meters
+        gps_xy = np.asarray(
+            [(np.array([g["lat"], g["lon"]]) - GPS_MEAN) * GPS_SCALE
+             for g, _ in gps_plan])
+        blocked_s = 180.0 if self.training else 800 * self.dt
+        self._criteria = default_criteria(gps_xy, dt=self.dt,
+                                          blocked_seconds=blocked_s)
+
+        # background traffic
+        self.provider.spawn_background_traffic(
+            cfg.vehicle_num or 0, cfg.walker_num or 0, self.tm_port)
+
+        self._setup_sensors()
+        self.world.tick()
+        self._on_world_tick()
+
+    def _setup_sensors(self) -> None:
+        carla = self._carla
+        self.sensor_interface = SensorInterface(timeout=self._timeout)
+        lib = self.world.get_blueprint_library()
+        for spec in self._sensor_specs:
+            stype = spec["type"]
+            if stype.startswith("sensor.speedometer"):
+                self._speedometer = SpeedometerReader(
+                    self.ego, spec.get("reading_frequency", 20),
+                    self.sensor_interface, tag=spec["id"])
+                self._speedometer.start()
+                continue
+            bp = lib.find(stype)
+            if stype.startswith("sensor.camera.rgb"):
+                bp.set_attribute("image_size_x", str(spec["width"]))
+                bp.set_attribute("image_size_y", str(spec["height"]))
+                bp.set_attribute("fov", str(spec["fov"]))
+                bp.set_attribute("lens_circle_multiplier", "3.0")
+                bp.set_attribute("lens_circle_falloff", "3.0")
+                bp.set_attribute("chromatic_aberration_intensity", "0.5")
+                bp.set_attribute("chromatic_aberration_offset", "0")
+            elif stype.startswith("sensor.other.gnss"):
+                for attr in ["noise_alt_stddev", "noise_lat_stddev",
+                             "noise_lon_stddev"]:
+                    bp.set_attribute(attr, "0.000005")
+            elif stype.startswith("sensor.other.imu"):
+                for attr, v in [("noise_accel_stddev_x", "0.001"),
+                                ("noise_accel_stddev_y", "0.001"),
+                                ("noise_accel_stddev_z", "0.015"),
+                                ("noise_gyro_stddev_x", "0.001"),
+                                ("noise_gyro_stddev_y", "0.001"),
+                                ("noise_gyro_stddev_z", "0.001")]:
+                    bp.set_attribute(attr, v)
+            elif stype.startswith("sensor.other.obstacle"):
+                bp.set_attribute("distance", "11")
+                bp.set_attribute("hit_radius", "0.5")
+                bp.set_attribute("only_dynamics", "True")
+                bp.set_attribute("sensor_tick", "0.01")
+            tf = carla.Transform(
+                carla.Location(x=spec.get("x", 0.0), y=spec.get("y", 0.0),
+                               z=spec.get("z", 0.0)),
+                carla.Rotation(pitch=spec.get("pitch", 0.0),
+                               roll=spec.get("roll", 0.0),
+                               yaw=spec.get("yaw", 0.0)))
+            sensor = self.world.spawn_actor(bp, tf, self.ego)
+            sensor.listen(CallBack(spec["id"], stype, sensor,
+                                   self.sensor_interface))
+            self._sensors.append(sensor)
+
+        # collision sensor feeds the CollisionCriterion
+        cbp = lib.find("sensor.other.collision")
+        collision = self.world.spawn_actor(cbp, carla.Transform(), self.ego)
+        collision.listen(self._on_collision)
+        self._sensors.append(collision)
+        self.world.tick()
+
+    def _on_collision(self, event) -> None:
+        other = event.other_actor
+        tid = other.type_id if other is not None else ""
+        if tid.startswith("walker"):
+            self._collision_flags["walker"] = True
+        elif tid.startswith("vehicle"):
+            self._collision_flags["vehicle"] = True
+        else:
+            self._collision_flags["static"] = True
+
+    def _destroy_sensors(self) -> None:
+        if self._speedometer is not None:
+            self._speedometer.stop()
+            self._speedometer = None
+        for s in self._sensors:
+            try:
+                s.stop()
+                s.destroy()
+            except RuntimeError:
+                pass
+        self._sensors = []
+        if self.sensor_interface is not None:
+            self.sensor_interface.destroy()
+            self.sensor_interface = None
+
+    def _on_world_tick(self) -> None:
+        snapshot = self.world.get_snapshot()
+        if snapshot:
+            self.game_time.on_tick(snapshot.timestamp)
+        self.provider.on_tick()
+
+    def _world_step(self, control: Sequence[float]) -> None:
+        carla = self._carla
+        vc = carla.VehicleControl()
+        vc.steer = float(control[0])
+        vc.throttle = float(control[1])
+        vc.brake = float(control[2])
+        vc.manual_gear_shift = False
+        self.ego.apply_control(vc)
+        # spectator follow-cam (env_wrapper.py:871-874)
+        spectator = self.world.get_spectator()
+        tf = self.ego.get_transform()
+        spectator.set_transform(carla.Transform(
+            tf.location + carla.Location(z=50),
+            carla.Rotation(pitch=-90)))
+        self.world.tick(self._timeout)
+        self._on_world_tick()
+
+        # criteria update in GPS meter space
+        gps_pos = self._last_gps_meters if hasattr(self, "_last_gps_meters") \
+            else np.zeros(2)
+        v = self.ego.get_velocity()
+        speed = (v.x ** 2 + v.y ** 2 + v.z ** 2) ** 0.5
+        snap = VehicleSnapshot(
+            pos=gps_pos, yaw=tf.rotation.yaw, speed=speed,
+            collided_static=self._collision_flags["static"],
+            collided_vehicle=self._collision_flags["vehicle"],
+            collided_pedestrian=self._collision_flags["walker"])
+        for crit in self._criteria:
+            crit.update(snap)
+        self._collision_flags = {"static": False, "vehicle": False,
+                                 "walker": False}
+
+    def _filter_obstacle(self, distance: float, actor, yaw_deg: float
+                         ) -> float:
+        """Lane/heading obstacle filtering (env_wrapper.py:944-979)."""
+        if distance <= -1 or actor is None:
+            return -1.0
+        carla = self._carla
+        m = self.provider.map
+        ego_pt = m.get_waypoint(self.provider.get_location(self.ego),
+                                project_to_road=False)
+        ego_road = m.get_waypoint(self.provider.get_location(self.ego),
+                                  lane_type=carla.LaneType.Driving,
+                                  project_to_road=True)
+        ego_lane = ego_pt.lane_id if ego_pt else -100
+        ego_road_id = ego_road.road_id if ego_road else -100
+        other_pt = m.get_waypoint(self.provider.get_location(actor),
+                                  project_to_road=False)
+        other_road = m.get_waypoint(self.provider.get_location(actor),
+                                    lane_type=carla.LaneType.Driving,
+                                    project_to_road=True)
+        other_lane = other_pt.lane_id if other_pt else -101
+        other_road_id = other_road.road_id if other_road else -101
+        if ego_lane != other_lane and ego_road_id == other_road_id:
+            return -1.0
+        tfs = self.provider.get_transform(actor)
+        actor_speed = self.provider.get_velocity(actor)
+        vehicle_theta = abs(tfs.rotation.yaw - yaw_deg)
+        if vehicle_theta > 180:
+            vehicle_theta = 360 - vehicle_theta
+        if vehicle_theta > 90 and actor_speed < 0.01 and \
+                "vehicle" in actor.type_id:
+            return -1.0
+        return distance
+
+    def _world_tick(self) -> Dict[str, Any]:
+        data = self.sensor_interface.get_data()
+        self.sensor_interface.clear_obstacle("obstacle")
+
+        bgra = data["rgb"][1]
+        rgb = bgra[:, :, :3][:, :, ::-1].copy()  # BGR -> RGB
+        gnss = data["gps"][1]
+        gps_meters = (gnss[:2] - GPS_MEAN) * GPS_SCALE
+        self._last_gps_meters = gps_meters
+        speed = data["speed"][1]["speed"]
+        if math.isnan(speed):
+            speed = 0.0
+        imu = data["imu"][1]
+        compass = float(imu[-1])
+        yaw_deg = float(imu[3])
+        obstacle_distance, obstacle_actor = -1.0, None
+        odata = data.get("obstacle", (-1, None))
+        if odata[1] is not None and odata[0] > -1:
+            dist_arr, obstacle_actor = odata[1]
+            obstacle_distance = float(dist_arr[0])
+        obstacle = self._filter_obstacle(obstacle_distance, obstacle_actor,
+                                         yaw_deg)
+        yaw_rad = math.radians(yaw_deg - 90.0)
+        # GPS-space forward: world (cos,sin) maps to (-sin, cos) in (lat,lon)
+        fwd = np.array([-math.sin(math.radians(yaw_deg)),
+                        math.cos(math.radians(yaw_deg))])
+        return {
+            "rgb": rgb,
+            "gps": gps_meters,
+            "full_gps": gnss[:3],
+            "speed": float(speed),
+            "compass": compass,
+            "forward": fwd,
+            "imu": [float(imu[0]), float(imu[1]), float(imu[2]), yaw_deg],
+            "obstacle": obstacle,
+            "target_diff": 0,
+            "topdown_seg": None,
+        }
+
+    def _planner_step(self, gps):
+        # base passes tick['gps'] (already meter-transformed here)
+        return self._planner.run_step(gps)
+
+    def _cleanup_episode(self) -> None:
+        super()._cleanup_episode()
+        if isinstance(self.route_indexer, PriorityRouteIndexer):
+            for crit in self._criteria:
+                if crit.name == "RouteCompletionTest":
+                    self.route_indexer.update_route(
+                        self._current_config.index, crit.actual_value,
+                        crit.current_index)
+
+    def close(self) -> None:
+        self._destroy_sensors()
+        self.provider.cleanup()
+        settings = self.world.get_settings()
+        settings.synchronous_mode = False
+        settings.fixed_delta_seconds = None
+        self.world.apply_settings(settings)

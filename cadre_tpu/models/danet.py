@@ -44,25 +44,32 @@ from cadre_tpu.ops.dual_attention import cam_apply, fused_dual_attention, pam_ap
 class PositionAttention(nn.Module):
     """PAM (da_att.py:19-51): 1x1 q/k at C/8, v at C, gamma-gated residual."""
 
+    dim: int
     axis_name: str | None = None
 
-    @nn.compact
+    def setup(self):
+        self.query_conv = conv(self.dim // 8, 1)
+        self.key_conv = conv(self.dim // 8, 1)
+        self.value_conv = conv(self.dim, 1)
+        self.gamma = self.param("gamma", nn.initializers.zeros, (1,))
+
+    def projections(self, x):
+        return (self.query_conv(x), self.key_conv(x), self.value_conv(x),
+                self.gamma)
+
     def __call__(self, x):
-        c = x.shape[-1]
-        q = conv(c // 8, 1, name="query_conv")(x)
-        k = conv(c // 8, 1, name="key_conv")(x)
-        v = conv(c, 1, name="value_conv")(x)
-        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        q, k, v, gamma = self.projections(x)
         return pam_apply(x, q, k, v, gamma)
 
 
 class ChannelAttention(nn.Module):
     """CAM (da_att.py:54-83): parameter-free gram attention, gamma residual."""
 
-    @nn.compact
+    def setup(self):
+        self.gamma = self.param("gamma", nn.initializers.zeros, (1,))
+
     def __call__(self, x):
-        gamma = self.param("gamma", nn.initializers.zeros, (1,))
-        return cam_apply(x, gamma)
+        return cam_apply(x, self.gamma)
 
 
 class DANetHead(nn.Module):
@@ -74,6 +81,7 @@ class DANetHead(nn.Module):
 
     out_channels: int
     axis_name: str | None = None
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -82,15 +90,25 @@ class DANetHead(nn.Module):
         feat1 = conv(inter, 3, 1, 1, use_bias=False, name="conv5a_conv")(x)
         feat1 = batch_norm(train, "conv5a_bn", self.axis_name)(feat1)
         feat1 = nn.relu(feat1)
-        sa = PositionAttention(name="sa")(feat1)
-        sa = conv(inter, 3, 1, 1, use_bias=False, name="conv51_conv")(sa)
-        sa = batch_norm(train, "conv51_bn", self.axis_name)(sa)
-        sa = nn.relu(sa)
 
         feat2 = conv(inter, 3, 1, 1, use_bias=False, name="conv5c_conv")(x)
         feat2 = batch_norm(train, "conv5c_bn", self.axis_name)(feat2)
         feat2 = nn.relu(feat2)
-        sc = ChannelAttention(name="sc")(feat2)
+
+        sa_mod = PositionAttention(inter, name="sa")
+        sc_mod = ChannelAttention(name="sc")
+        if self.use_fused_attention:
+            q, k, v, g_p = sa_mod.projections(feat1)
+            g_c = sc_mod.gamma
+            sa, sc = fused_dual_attention(feat1, q, k, v, g_p, feat2, g_c)
+        else:
+            sa = sa_mod(feat1)
+            sc = sc_mod(feat2)
+
+        sa = conv(inter, 3, 1, 1, use_bias=False, name="conv51_conv")(sa)
+        sa = batch_norm(train, "conv51_bn", self.axis_name)(sa)
+        sa = nn.relu(sa)
+
         sc = conv(inter, 3, 1, 1, use_bias=False, name="conv52_conv")(sc)
         sc = batch_norm(train, "conv52_bn", self.axis_name)(sc)
         sc = nn.relu(sc)
@@ -345,7 +363,9 @@ class DANet(nn.Module):
                                        axis_name=self.axis_name,
                                        name="backbone")
         self.da_head = DANetHead(cfg.da_feature_channel,
-                                 axis_name=self.axis_name, name="da_head")
+                                 axis_name=self.axis_name,
+                                 use_fused_attention=cfg.use_fused_attention,
+                                 name="da_head")
         self.visual_conv = conv(cfg.da_feature_channel, 1, name="visual_conv")
         self.visual_branch = VisualBranch(cfg, axis_name=self.axis_name,
                                           name="visual_branch")
