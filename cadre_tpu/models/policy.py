@@ -224,6 +224,37 @@ class PolicyBankDef:
         p = self._select(bank_params, command)
         return ac.apply({"params": p["ac"]}, feat, method=ActorCritic.value)[..., 0]
 
+    def act_batch(self, bank_params, commands, obs_seq, carry, rng):
+        """Batched act across N envs with per-env commands.
+
+        obs_seq: [T, N, F]; commands: [N] int; carry: ([N,F],[N,F]).
+        Evaluates all command banks densely (the update path's pattern,
+        agent.py:170-182) and gathers each env's own bank — one fused
+        program instead of N python dispatches.
+        Returns (PolicyOutput of [N] arrays, carry [N,F] pair from the
+        selected banks).
+        """
+        ac, lstm = self.make_modules()
+
+        def eval_one(p):
+            if self.use_lstm:
+                new_carry, feat = lstm.apply({"params": p["lstm"]}, obs_seq,
+                                             carry, method=LSTMModel.unroll)
+            else:
+                feat, new_carry = obs_seq[-1], carry
+            logits, value = ac.apply({"params": p["ac"]}, feat)
+            return logits, value[..., 0], new_carry
+
+        logits_c, values_c, carats = jax.vmap(eval_one)(bank_params)
+        n = commands.shape[0]
+        idx = (commands, jnp.arange(n))
+        logits = logits_c[idx]        # [N, A]
+        value = values_c[idx]         # [N]
+        new_carry = (carats[0][idx], carats[1][idx])
+        action = categorical_sample(logits, rng)
+        log_prob = categorical_log_prob(logits, action)
+        return PolicyOutput(action, log_prob, value, logits), new_carry
+
     def evaluate_masked(self, bank_params, obs_seq, carry, action, command_b):
         """All-command evaluation with one-hot masking (agent.py:170-182).
 

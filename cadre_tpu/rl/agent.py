@@ -164,6 +164,36 @@ class CadreAgent:
             self.hidden_state = out.hidden
         return out
 
+    def _act_vec(self, params, danet_vars, rgb, route_fig, measurements,
+                 commands, hidden, rng):
+        """Batched act over N envs: rgb [N,T,H,W,3], route_fig [N,T,W,H],
+        measurements [N,T,3], commands [N], hidden ([N,F],[N,F])."""
+        n, t = rgb.shape[0], rgb.shape[1]
+        x = preprocess_obs(rgb.reshape((n * t,) + rgb.shape[2:]),
+                           route_fig.reshape((n * t,) + route_fig.shape[2:]))
+        feats = latent_features(self.danet, danet_vars, x,
+                                measurements.reshape(n * t, -1))
+        feats = feats.reshape(n, t, -1)
+        obs_seq = jnp.transpose(feats, (1, 0, 2))  # [T, N, F]
+        rs, rt = jax.random.split(rng)
+        steer_out, hidden_s = self.steer_def.act_batch(
+            params["steer"], commands, obs_seq, hidden, rs)
+        throttle_out, _ = self.throttle_def.act_batch(
+            params["throttle"], commands, obs_seq, hidden, rt)
+        return feats, steer_out, throttle_out, hidden_s
+
+    def act_vec(self, tick_batch: Dict[str, Any], hidden, rng: jax.Array):
+        """Vectorized act for VecDrivingEnv tick batches."""
+        if not hasattr(self, "_act_vec_jit"):
+            self._act_vec_jit = jax.jit(self._act_vec)
+        return self._act_vec_jit(
+            self.params, self.danet_vars,
+            jnp.asarray(tick_batch["rgb"]),
+            jnp.asarray(tick_batch["route_fig"]),
+            jnp.asarray(tick_batch["measurements"]),
+            jnp.asarray(tick_batch["command"], jnp.int32),
+            hidden, rng)
+
     def _bootstrap_value(self, params, steer_obs, steer_cmd, throttle_obs,
                          throttle_cmd, hidden):
         """Next-state values for GAE bootstrap (agent.py:143-164).

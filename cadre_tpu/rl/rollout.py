@@ -141,6 +141,102 @@ def normalize_advantages(adv: jax.Array) -> jax.Array:
     return (adv - adv.mean()) / (adv.std() + 1e-8)
 
 
+@chex.dataclass(frozen=True)
+class BatchedRollout:
+    """[T+1, N, ...] multi-env rollout (the vectorized trainer's storage)."""
+
+    obs: jax.Array          # [T+1, N, seq, F]
+    action: jax.Array       # [T+1, N]
+    log_prob: jax.Array
+    value: jax.Array
+    reward: jax.Array
+    mask: jax.Array
+    command: jax.Array
+    hn: jax.Array           # [T+1, N, F]
+    cn: jax.Array
+    step: jax.Array
+
+    @property
+    def num_steps(self) -> int:
+        return self.obs.shape[0] - 1
+
+    @property
+    def num_envs(self) -> int:
+        return self.obs.shape[1]
+
+
+def create_batched_rollout(num_steps: int, num_envs: int, seq_length: int,
+                           feature_dims: int) -> BatchedRollout:
+    t1, n, f = num_steps + 1, num_envs, feature_dims
+    return BatchedRollout(
+        obs=jnp.zeros((t1, n, seq_length, f)),
+        action=jnp.zeros((t1, n), jnp.int32),
+        log_prob=jnp.zeros((t1, n)),
+        value=jnp.zeros((t1, n)),
+        reward=jnp.zeros((t1, n)),
+        mask=jnp.zeros((t1, n)),
+        command=jnp.zeros((t1, n), jnp.int32),
+        hn=jnp.zeros((t1, n, f)),
+        cn=jnp.zeros((t1, n, f)),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def insert_batch(buf: BatchedRollout, obs, action, log_prob, value, reward,
+                 mask, hidden, command) -> BatchedRollout:
+    """Batched insert at the ring pointer; all args have leading [N]."""
+    s = buf.step
+    t = buf.num_steps
+    sp1 = jnp.minimum(s + 1, t)
+    store_hidden = s < t
+    hn, cn = hidden
+    return BatchedRollout(
+        obs=buf.obs.at[s].set(obs),
+        action=buf.action.at[s].set(jnp.asarray(action, jnp.int32)),
+        log_prob=buf.log_prob.at[s].set(log_prob),
+        value=buf.value.at[s].set(value),
+        reward=buf.reward.at[s].set(reward),
+        mask=buf.mask.at[s].set(mask),
+        command=buf.command.at[s].set(jnp.asarray(command, jnp.int32)),
+        hn=jnp.where(store_hidden, buf.hn.at[sp1].set(hn), buf.hn),
+        cn=jnp.where(store_hidden, buf.cn.at[sp1].set(cn), buf.cn),
+        step=(s + 1) % (t + 1),
+    )
+
+
+def batched_returns(buf: BatchedRollout, next_value: jax.Array, gamma: float,
+                    tau: float):
+    """GAE per env (vmapped over N). next_value: [N]."""
+    t = buf.num_steps
+    fn = jax.vmap(compute_gae, in_axes=(1, 1, 1, 0, None, None),
+                  out_axes=1)
+    return fn(buf.reward[:t], buf.value[:t], buf.mask[:t], next_value,
+              gamma, tau)
+
+
+def gather_minibatch_batched(buf: BatchedRollout, returns: jax.Array,
+                             adv: jax.Array, flat_idx: jax.Array
+                             ) -> "Minibatch":
+    """flat_idx over T*N rows of the flattened [T,N] rollout."""
+    t, n = buf.num_steps, buf.num_envs
+
+    def flat(x):
+        return x[:t].reshape((t * n,) + x.shape[2:])
+
+    obs = flat(buf.obs)[flat_idx]                      # [B, seq, F]
+    return Minibatch(
+        obs_seq=jnp.transpose(obs, (1, 0, 2)),
+        action=flat(buf.action)[flat_idx],
+        old_value=flat(buf.value)[flat_idx],
+        returns=returns.reshape(-1)[flat_idx],
+        mask=flat(buf.mask)[flat_idx],
+        old_log_prob=flat(buf.log_prob)[flat_idx],
+        advantage=adv.reshape(-1)[flat_idx],
+        hidden=(flat(buf.hn)[flat_idx], flat(buf.cn)[flat_idx]),
+        command=flat(buf.command)[flat_idx],
+    )
+
+
 class Minibatch(NamedTuple):
     obs_seq: jax.Array      # [seq, B, F]
     action: jax.Array       # [B]

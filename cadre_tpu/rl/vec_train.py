@@ -1,0 +1,167 @@
+"""Vectorized multi-env PPO training — the high-throughput path.
+
+Replaces the reference's N sim-locked worker processes + chief
+(SURVEY §2.7 data-parallel row) with: N host envs stepped behind ONE batched
+act dispatch per tick, batched [T, N] rollouts, vmapped GAE, and PPO
+minibatches over the T*N sample pool (optionally sharded over a device
+mesh — `make_distributed_update` — where the psum IS the chief).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cadre_tpu.configs.agent_config import (
+    RolloutConfig,
+    TrainConfig,
+    convert_action,
+)
+from cadre_tpu.rl.agent import CadreAgent
+from cadre_tpu.rl.rollout import (
+    BatchedRollout,
+    batched_returns,
+    create_batched_rollout,
+    gather_minibatch_batched,
+    insert_batch,
+    normalize_advantages,
+)
+from cadre_tpu.utils.logger import logger
+
+
+@dataclasses.dataclass
+class VecEpisodeStats:
+    iteration: int
+    value_loss: float
+    policy_loss: float
+    entropy_loss: float
+    env_steps: int
+    env_steps_per_sec: float
+    mean_steer_reward: float
+    mean_throttle_reward: float
+    episodes_finished: int
+    mean_completion: float
+
+
+def train_vec(vec_env, agent: CadreAgent,
+              rollout_cfg: Optional[RolloutConfig] = None,
+              train_cfg: Optional[TrainConfig] = None,
+              iterations: int = 100, seed: int = 0,
+              work_dir: Optional[str] = None,
+              iteration_hook: Optional[Callable] = None
+              ) -> List[VecEpisodeStats]:
+    rollout_cfg = rollout_cfg or RolloutConfig()
+    train_cfg = train_cfg or TrainConfig()
+    n = vec_env.num_envs
+    t_steps = rollout_cfg.num_steps
+    f = agent.obs_dim
+
+    steer_buf = create_batched_rollout(t_steps, n, rollout_cfg.seq_length, f)
+    throttle_buf = create_batched_rollout(t_steps, n, rollout_cfg.seq_length,
+                                          f)
+
+    @jax.jit
+    def store(sb, tb, feats, s_out, t_out, rewards, s_mask, t_mask, hidden,
+              commands):
+        sb = insert_batch(sb, feats, s_out.action, s_out.log_prob,
+                          s_out.value, rewards[:, 0], s_mask, hidden,
+                          commands)
+        tb = insert_batch(tb, feats, t_out.action, t_out.log_prob,
+                          t_out.value, rewards[:, 1], t_mask, hidden,
+                          commands)
+        return sb, tb
+    hidden = (jnp.zeros((n, f)), jnp.zeros((n, f)))
+    rng = jax.random.PRNGKey(seed)
+    tick = vec_env.reset()
+    stats_log: List[VecEpisodeStats] = []
+    import os
+
+    model_dir = None
+    if work_dir is not None:
+        model_dir = os.path.join(work_dir, "models")
+        os.makedirs(model_dir, exist_ok=True)
+
+    for it in range(iterations):
+        t0 = time.time()
+        reward_sums = np.zeros(2)
+        for step in range(t_steps):
+            rng, key = jax.random.split(rng)
+            commands = tick["command"]
+            feats, steer_out, throttle_out, hidden_new = agent.act_vec(
+                tick, hidden, key)
+            steer_a = np.asarray(steer_out.action)
+            throttle_a = np.asarray(throttle_out.action)
+            controls = [convert_action(int(sa), int(ta))
+                        for sa, ta in zip(steer_a, throttle_a)]
+            tick, rewards, dones, infos = vec_env.step(controls)
+            steer_done = np.asarray(
+                [i["action_done"][0] for i in infos], np.float32)
+            throttle_done = np.asarray(
+                [i["action_done"][1] for i in infos], np.float32)
+            reward_sums += rewards.mean(0)
+
+            steer_buf, throttle_buf = store(
+                steer_buf, throttle_buf, feats, steer_out, throttle_out,
+                jnp.asarray(rewards, jnp.float32),
+                jnp.asarray(1.0 - steer_done),
+                jnp.asarray(1.0 - throttle_done),
+                hidden, jnp.asarray(commands, jnp.int32))
+            # reference semantics: stale zero hidden carry (agent.py:38-40)
+            if agent.update_hidden:
+                hidden = hidden_new
+
+        # bootstrap from the live post-rollout observation
+        rng, key = jax.random.split(rng)
+        _, steer_fin, throttle_fin, _ = agent.act_vec(tick, hidden, key)
+        s_ret, s_adv = batched_returns(steer_buf, steer_fin.value,
+                                       rollout_cfg.gamma, rollout_cfg.tau)
+        t_ret, t_adv = batched_returns(throttle_buf, throttle_fin.value,
+                                       rollout_cfg.gamma, rollout_cfg.tau)
+        if train_cfg.use_adv_norm:
+            s_adv = normalize_advantages(s_adv)
+            t_adv = normalize_advantages(t_adv)
+
+        losses = []
+        total_rows = t_steps * n
+        mb_size = total_rows // rollout_cfg.mini_batch_num
+        for _ in range(train_cfg.ppo_epoch):
+            rng, k1, k2 = jax.random.split(rng, 3)
+            s_perm = jax.random.permutation(k1, total_rows)
+            t_perm = jax.random.permutation(k2, total_rows)
+            for m in range(rollout_cfg.mini_batch_num):
+                sl = slice(m * mb_size, (m + 1) * mb_size)
+                s_mb = gather_minibatch_batched(steer_buf, s_ret, s_adv,
+                                                s_perm[sl])
+                t_mb = gather_minibatch_batched(throttle_buf, t_ret, t_adv,
+                                                t_perm[sl])
+                losses.append(agent.update_policy(s_mb, t_mb))
+
+        dt = time.time() - t0
+        eps = vec_env.pop_episode_stats()
+        vl, pl, el = [float(np.mean([l[i] for l in losses]))
+                      for i in range(3)]
+        stats = VecEpisodeStats(
+            iteration=it, value_loss=vl, policy_loss=pl, entropy_loss=el,
+            env_steps=t_steps * n, env_steps_per_sec=t_steps * n / dt,
+            mean_steer_reward=float(reward_sums[0]),
+            mean_throttle_reward=float(reward_sums[1]),
+            episodes_finished=len(eps),
+            mean_completion=float(np.mean([e["completion"] for e in eps]))
+            if eps else 0.0)
+        stats_log.append(stats)
+        if iteration_hook:
+            iteration_hook(stats)
+        if it % train_cfg.log_interval == 0:
+            logger.log(
+                f"iter {it}: {stats.env_steps_per_sec:.0f} env-steps/s, "
+                f"value {vl:.4f}, policy {pl:.4f}, ent {el:.4f}, "
+                f"{stats.episodes_finished} eps done "
+                f"(mean completion {stats.mean_completion:.1f}%)")
+        if model_dir is not None and it % train_cfg.save_interval == 0:
+            agent.save_snapshot(
+                f"{model_dir}/ppo_model_{it}.msgpack")
+    return stats_log
