@@ -1,0 +1,173 @@
+"""VAE-family perception ablations.
+
+Reference family (carla_perception/Networks/):
+  - VanillaVAE (vanilla_vae.py:38+): conv pyramid encoder (hidden dims
+    64-512, stride-2 3x3 conv+BN+LeakyReLU) -> fc mu (+ logvar, unused for
+    the 'vanilla' forward) -> decoder bank like DANet's VisualBranch.
+  - BetaVAE (beta_vae.py:38+): same with reparameterized z and beta-weighted
+    KLD (the beta weighting lives in the loss, perception/losses.kld_loss).
+  - DABetaVAE (da_beta_vae.py:71+): the DANet trunk with reparameterized
+    mu/logvar heads per task stream.
+All share the multi-head decoder contract, so they plug into the same
+perception trainer and RL latent interface.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cadre_tpu.configs.danet_config import DANetParams
+from cadre_tpu.models.danet import VisualBranch, BCBranch, DANetHead
+from cadre_tpu.models.resnet import ResNetBackbone
+from cadre_tpu.models.torch_compat import (
+    batch_norm,
+    conv,
+    flatten_nchw,
+    leaky_relu,
+)
+
+
+class ConvEncoder(nn.Module):
+    """Stride-2 conv pyramid: [B,H,W,Cin] -> [B,H/16,W/16,512]."""
+
+    hidden_dims: Tuple[int, ...] = (64, 128, 256, 512)
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, h in enumerate(self.hidden_dims):
+            x = conv(h, 3, 2, 1, use_bias=False, name=f"enc{i}_conv")(x)
+            x = batch_norm(train, f"enc{i}_bn", self.axis_name)(x)
+            x = leaky_relu(x)
+        return x
+
+
+class VanillaVAE(nn.Module):
+    """Autoencoder with gaussian latent heads (vanilla_vae.py)."""
+
+    params_cfg: DANetParams
+    variational: bool = False   # True => BetaVAE behavior (reparameterize)
+
+    def setup(self):
+        cfg = self.params_cfg
+        self.encoder = ConvEncoder(name="encoder")
+        self.fc_mu_1 = nn.Dense(512, name="fc_mu_1")
+        self.fc_mu_2 = nn.Dense(cfg.z_dims, name="fc_mu_2")
+        self.fc_var_1 = nn.Dense(512, name="fc_var_1")
+        self.fc_var_2 = nn.Dense(cfg.z_dims, name="fc_var_2")
+        self.visual_branch = VisualBranch(cfg, name="visual_branch")
+        if cfg.pred_bc:
+            self.bc_branch = BCBranch(cfg.z_dims, name="bc_branch")
+
+    def encode(self, x, train: bool = False):
+        h = flatten_nchw(self.encoder(x, train=train))
+        mu = self.fc_mu_2(leaky_relu(self.fc_mu_1(h)))
+        logvar = self.fc_var_2(leaky_relu(self.fc_var_1(h)))
+        return mu, logvar
+
+    def __call__(self, x, train: bool = False, rng: Optional[jax.Array] = None):
+        mu, logvar = self.encode(x, train=train)
+        if self.variational and rng is not None:
+            z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng, mu.shape, mu.dtype)
+        else:
+            z = mu
+        out = self.visual_branch(z, train=train)
+        out["mu"] = mu
+        out["logvar"] = logvar
+        if self.params_cfg.pred_bc:
+            bc = self.bc_branch(z)
+            out["steer"] = bc[:, 0]
+            out["throttle"] = bc[:, 1]
+        return out
+
+    def latent(self, x, train: bool = False):
+        mu, _ = self.encode(x, train=train)
+        return mu
+
+
+class BetaVAE(VanillaVAE):
+    """Reparameterized variant; beta weighting applied in the loss."""
+
+    variational: bool = True
+
+
+class DABetaVAE(nn.Module):
+    """DANet trunk with reparameterized per-stream latents
+    (da_beta_vae.py:71-260)."""
+
+    params_cfg: DANetParams
+    axis_name: str | None = None
+
+    def setup(self):
+        cfg = self.params_cfg
+        self.backbone = ResNetBackbone(arch=cfg.backbone,
+                                       axis_name=self.axis_name,
+                                       name="backbone")
+        self.da_head = DANetHead(cfg.da_feature_channel,
+                                 axis_name=self.axis_name, name="da_head")
+        self.visual_conv = conv(cfg.da_feature_channel, 1,
+                                name="visual_conv")
+        in_dim = cfg.inter_att_dims
+        self.visual_mu_1 = nn.Dense(in_dim, name="visual_mu_1")
+        self.visual_mu_2 = nn.Dense(cfg.z_dims, name="visual_mu_2")
+        self.visual_var_1 = nn.Dense(in_dim, name="visual_var_1")
+        self.visual_var_2 = nn.Dense(cfg.z_dims, name="visual_var_2")
+        self.visual_branch = VisualBranch(cfg, name="visual_branch")
+        if cfg.pred_bc:
+            self.bc_conv = conv(cfg.da_feature_channel, 1, name="bc_conv")
+            self.bc_mu_1 = nn.Dense(in_dim, name="bc_mu_1")
+            self.bc_mu_2 = nn.Dense(cfg.z_dims, name="bc_mu_2")
+            self.bc_var_1 = nn.Dense(in_dim, name="bc_var_1")
+            self.bc_var_2 = nn.Dense(cfg.z_dims, name="bc_var_2")
+            self.bc_branch = BCBranch(cfg.z_dims, name="bc_branch")
+
+    def _heads(self, x, train):
+        y = self.backbone(x, train=train)
+        da = self.da_head(y, train=train)
+        vis = flatten_nchw(self.visual_conv(da))
+        v_mu = self.visual_mu_2(leaky_relu(self.visual_mu_1(vis)))
+        v_logvar = self.visual_var_2(leaky_relu(self.visual_var_1(vis)))
+        if self.params_cfg.pred_bc:
+            bc = flatten_nchw(self.bc_conv(da))
+            b_mu = self.bc_mu_2(leaky_relu(self.bc_mu_1(bc)))
+            b_logvar = self.bc_var_2(leaky_relu(self.bc_var_1(bc)))
+        else:
+            b_mu = b_logvar = None
+        return v_mu, v_logvar, b_mu, b_logvar
+
+    def __call__(self, x, train: bool = False,
+                 rng: Optional[jax.Array] = None):
+        v_mu, v_logvar, b_mu, b_logvar = self._heads(x, train)
+        if rng is not None:
+            r1, r2 = jax.random.split(rng)
+            z_v = v_mu + jnp.exp(0.5 * v_logvar) * jax.random.normal(
+                r1, v_mu.shape, v_mu.dtype)
+        else:
+            z_v = v_mu
+        out = self.visual_branch(z_v, train=train)
+        out["mu"] = v_mu
+        out["logvar"] = v_logvar
+        if self.params_cfg.pred_bc:
+            if rng is not None:
+                z_b = b_mu + jnp.exp(0.5 * b_logvar) * jax.random.normal(
+                    r2, b_mu.shape, b_mu.dtype)
+            else:
+                z_b = b_mu
+            bc = self.bc_branch(z_b)
+            out["steer"] = bc[:, 0]
+            out["throttle"] = bc[:, 1]
+            out["bc_mu"] = b_mu
+            out["bc_logvar"] = b_logvar
+        return out
+
+    def latent(self, x, mode: str = "concate", train: bool = False):
+        v_mu, _, b_mu, _ = self._heads(x, train)
+        if b_mu is None:
+            return v_mu
+        if mode == "add":
+            return v_mu + b_mu
+        return jnp.concatenate([v_mu, b_mu], axis=-1)

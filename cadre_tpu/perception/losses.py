@@ -94,4 +94,12 @@ def total_danet_loss(outputs: Dict[str, jax.Array], batch: Dict[str, Any],
         losses["steer"] = bc_loss(outputs["steer"], batch["steer"])
         losses["throttle"] = bc_loss(outputs["throttle"], batch["throttle"])
         total = total + losses["steer"] + losses["throttle"]
+    # VAE-family models expose gaussian latent heads -> KLD terms
+    # (auto_trainer.py:300-303)
+    if "mu" in outputs:
+        losses["visual_kld"] = kld_loss(outputs["mu"], outputs["logvar"])
+        total = total + losses["visual_kld"]
+    if "bc_mu" in outputs:
+        losses["bc_kld"] = kld_loss(outputs["bc_mu"], outputs["bc_logvar"])
+        total = total + losses["bc_kld"]
     return total, losses

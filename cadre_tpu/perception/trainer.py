@@ -43,11 +43,12 @@ class TrainState:
 
 def make_optimizer(tp: PerceptionTrainParams, steps_per_epoch: int
                    ) -> optax.GradientTransformation:
+    warmup = max(1, tp.warmup_epochs * steps_per_epoch)
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=tp.lr,
-        warmup_steps=max(1, tp.warmup_epochs * steps_per_epoch),
-        decay_steps=max(2, tp.max_epochs * steps_per_epoch),
+        warmup_steps=warmup,
+        decay_steps=max(warmup + 1, tp.max_epochs * steps_per_epoch),
         end_value=0.0,
     )
     # torch Adam(weight_decay) = L2 added to grads before the moments
@@ -63,11 +64,25 @@ class PerceptionTrainer:
                  seg_class_weight: Optional[np.ndarray] = None,
                  light_class_weight: Optional[np.ndarray] = None,
                  axis_name: Optional[str] = None,
-                 dtype: Any = jnp.float32):
+                 dtype: Any = jnp.float32,
+                 model: Any = None):
+        """`model`: any flax module with the DANet forward contract
+        (x, bc_speed?, train) -> heads dict — the zoo models
+        (VanillaVAE/BetaVAE/DABetaVAE) plug in here; default is DANet."""
         self.cfg = cfg
         self.tp = tp
-        self.model, variables = create_danet(cfg, rng, train=True,
-                                             axis_name=axis_name)
+        if model is None:
+            self.model, variables = create_danet(cfg, rng, train=True,
+                                                 axis_name=axis_name)
+            self._takes_speed = True
+        else:
+            self.model = model
+            self._takes_speed = False
+            x = jnp.zeros((1, cfg.image_height, cfg.image_width,
+                           cfg.input_channel))
+            variables = model.init(
+                {"params": rng, "dropout": jax.random.fold_in(rng, 1)}, x,
+                train=True)
         self.opt = make_optimizer(tp, steps_per_epoch)
         self.state = TrainState(
             params=variables["params"],
@@ -83,11 +98,20 @@ class PerceptionTrainer:
 
     # ---------------- steps ----------------
 
+    def _apply(self, params, batch_stats, batch, train, rng=None):
+        args = (batch["x"], batch["speed"]) if self._takes_speed \
+            else (batch["x"],)
+        kwargs = dict(train=train)
+        if train:
+            kwargs["rngs"] = {"dropout": rng}
+            return self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, *args,
+                mutable=["batch_stats"], **kwargs)
+        return self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, *args, **kwargs)
+
     def _loss_fn(self, params, batch_stats, batch, rng):
-        outputs, mutated = self.model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["x"], batch["speed"], train=True,
-            rngs={"dropout": rng}, mutable=["batch_stats"])
+        outputs, mutated = self._apply(params, batch_stats, batch, True, rng)
         total, losses = total_danet_loss(outputs, batch, self.cfg,
                                          self.seg_w, self.light_w)
         return total, (losses, mutated["batch_stats"])
@@ -103,9 +127,7 @@ class PerceptionTrainer:
         return params, new_stats, opt_state, losses
 
     def _eval_step_impl(self, params, batch_stats, batch):
-        outputs = self.model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["x"], batch["speed"], train=False)
+        outputs = self._apply(params, batch_stats, batch, False)
         total, losses = total_danet_loss(outputs, batch, self.cfg,
                                          self.seg_w, self.light_w)
         metrics = dict(losses, total=total)

@@ -1,0 +1,102 @@
+"""Shape tests for the ablation/baseline model zoo."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cadre_tpu.configs.danet_config import danet_params
+from cadre_tpu.models.cil import CarlaNet, CilrsNet, SmallCNN
+from cadre_tpu.models.unet import NestedUNet, UNet
+from cadre_tpu.models.vae import BetaVAE, DABetaVAE, VanillaVAE
+
+CFG = danet_params(image_height=64, image_width=96, feat_h=2, feat_w=3,
+                   da_feature_channel=64, inter_att_dims=48, z_dims=32)
+
+
+def test_vanilla_vae_heads():
+    model = VanillaVAE(params_cfg=CFG)
+    x = jnp.zeros((2, 64, 96, 4))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out["camera"].shape == (2, 64, 96, 8)
+    assert out["mu"].shape == (2, 32)
+    assert out["logvar"].shape == (2, 32)
+    assert out["steer"].shape == (2,)
+    z = model.apply(variables, x, method=VanillaVAE.latent)
+    assert z.shape == (2, 32)
+
+
+def test_beta_vae_reparameterizes():
+    model = BetaVAE(params_cfg=CFG)
+    x = jnp.ones((1, 64, 96, 4)) * 0.3
+    variables = model.init(jax.random.PRNGKey(0), x)
+    o1 = model.apply(variables, x, rng=jax.random.PRNGKey(1))
+    o2 = model.apply(variables, x, rng=jax.random.PRNGKey(2))
+    # different rng -> different reconstructions (stochastic z)
+    assert not np.allclose(np.asarray(o1["camera"]), np.asarray(o2["camera"]))
+
+
+def test_da_beta_vae():
+    model = DABetaVAE(params_cfg=CFG)
+    x = jnp.zeros((2, 64, 96, 4))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out["mu"].shape == (2, 32)
+    assert out["bc_mu"].shape == (2, 32)
+    z = model.apply(variables, x, method=DABetaVAE.latent)
+    assert z.shape == (2, 64)
+
+
+@pytest.mark.parametrize("recurrent,attention", [(False, False),
+                                                 (False, True),
+                                                 (True, False)])
+def test_unet_variants(recurrent, attention):
+    model = UNet(out_channels=8, base=8, depth=3, recurrent=recurrent,
+                 attention=attention)
+    x = jnp.zeros((1, 64, 96, 4))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (1, 64, 96, 8)
+
+
+def test_nested_unet():
+    model = NestedUNet(out_channels=1, base=8)
+    x = jnp.zeros((1, 64, 96, 4))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (1, 64, 96, 1)
+
+
+def test_carla_net_branching():
+    model = CarlaNet()
+    img = jnp.zeros((2, 88, 200, 3))
+    speed = jnp.zeros((2, 1))
+    variables = model.init(jax.random.PRNGKey(0), img, speed)
+    all_branches, pred_speed = model.apply(variables, img, speed)
+    assert all_branches.shape == (2, 4, 3)
+    assert pred_speed.shape == (2,)
+    cmd = jnp.asarray([1, 3])
+    selected, _ = model.apply(variables, img, speed, cmd)
+    assert selected.shape == (2, 3)
+    np.testing.assert_allclose(np.asarray(selected[0]),
+                               np.asarray(all_branches[0, 1]), rtol=1e-5)
+
+
+def test_cilrs_net():
+    model = CilrsNet(arch="resnet18")
+    img = jnp.zeros((2, 88, 200, 3))
+    speed = jnp.zeros((2, 1))
+    variables = model.init(jax.random.PRNGKey(0), img, speed)
+    selected, pred_speed = model.apply(variables, img, speed,
+                                       jnp.asarray([0, 2]))
+    assert selected.shape == (2, 3)
+    assert pred_speed.shape == (2,)
+
+
+def test_small_cnn():
+    model = SmallCNN(z_dims=64)
+    x = jnp.zeros((2, 144, 256, 4))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    z = model.apply(variables, x)
+    assert z.shape == (2, 64)
