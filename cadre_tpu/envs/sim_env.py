@@ -86,6 +86,17 @@ class SimDrivingEnv(BaseDrivingEnv):
         self._route_xy = np.zeros((2, 2))
         self._collision = {"static": False, "vehicle": False, "walker": False}
         self._current_config: Optional[RouteConfig] = None
+        self._control_noise = 0.0
+        self._scenario_manager = None
+        self._scenario_annotations = None
+        if scenario_file is not None:
+            try:
+                from cadre_tpu.envs.route_parser import parse_scenario_file
+
+                self._scenario_annotations = parse_scenario_file(
+                    scenario_file)
+            except (OSError, ValueError):
+                self._scenario_annotations = None
 
     # ---------------- world interface ----------------
 
@@ -138,12 +149,25 @@ class SimDrivingEnv(BaseDrivingEnv):
         planner.set_route_meters(dense, cmds)
         self._planner = planner
 
+        # adversarial scenario triggers along the route
+        self._control_noise = 0.0
+        if self._scenario_annotations:
+            from cadre_tpu.envs.scenarios import ScenarioManager
+
+            self._scenario_manager = ScenarioManager.from_annotations(
+                self._scenario_annotations, dense, rng=self._rng)
+        else:
+            self._scenario_manager = None
+
     def _planner_step(self, gps):
         return self._planner.run_step(gps)
 
     def _world_step(self, control: Sequence[float]) -> None:
         steer, throttle, brake = float(control[0]), float(control[1]), \
             float(control[2])
+        if self._scenario_manager is not None:
+            self._scenario_manager.tick(self)
+        steer = steer + self._control_noise  # ControlLoss injection
         steer = max(-1.0, min(1.0, steer))
         throttle = max(0.0, min(1.0, throttle))
         brake = max(0.0, min(1.0, brake))

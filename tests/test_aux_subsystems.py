@@ -1,0 +1,126 @@
+"""Aux subsystem tests: profiling, watchdog, driving score, scenarios."""
+import time
+
+import numpy as np
+import pytest
+
+from cadre_tpu.envs.criteria import (
+    CollisionCriterion,
+    RouteCompletionCriterion,
+    VehicleSnapshot,
+)
+from cadre_tpu.envs.events import TrafficEvent, TrafficEventType
+from cadre_tpu.envs.scenarios import (
+    SCENARIO_BEHAVIORS,
+    ScenarioManager,
+    ScenarioTrigger,
+)
+from cadre_tpu.envs.scoring import StatisticsManager, score_route
+from cadre_tpu.envs.sim_env import SimDrivingEnv
+from cadre_tpu.utils.profiling import (
+    PerformanceCounter,
+    PhaseTimer,
+    ThroughputMeter,
+)
+from cadre_tpu.utils.watchdog import Watchdog
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("env"):
+        time.sleep(0.01)
+    with t.phase("env"):
+        time.sleep(0.01)
+    with t.phase("device"):
+        pass
+    rep = t.report()
+    assert rep["env"]["count"] == 2
+    assert rep["env"]["mean_ms"] >= 9.0
+    assert "device" in rep
+
+
+def test_performance_counter():
+    c = PerformanceCounter()
+    for r in [1.0, 2.0, 3.0]:
+        c.update(r)
+    assert c.count == 3
+    np.testing.assert_allclose(c.mean_reward, 2.0)
+
+
+def test_throughput_meter():
+    m = ThroughputMeter(alpha=1.0)
+    m.tick(10)
+    time.sleep(0.02)
+    m.tick(10)
+    assert 100 < m.rate < 1000
+
+
+def test_watchdog_fires_and_pets():
+    w = Watchdog(timeout=0.05)
+    w.start()
+    for _ in range(4):
+        time.sleep(0.02)
+        w.update()
+    assert not w.failed
+    time.sleep(0.12)
+    assert w.failed
+    assert w.get_status() is False
+    w.stop()
+
+
+def test_driving_score():
+    route = np.array([[float(i), 0.0] for i in range(101)])
+    comp = RouteCompletionCriterion(route)
+    coll = CollisionCriterion()
+    # drive half the route, one vehicle collision + one red light
+    comp.update(VehicleSnapshot(pos=np.array([49.0, 0.0]), yaw=0, speed=5))
+    coll.list_traffic_events.append(
+        TrafficEvent(TrafficEventType.COLLISION_VEHICLE))
+    coll.list_traffic_events.append(
+        TrafficEvent(TrafficEventType.TRAFFIC_LIGHT_INFRACTION))
+    rec = score_route("r0", [comp, coll])
+    np.testing.assert_allclose(rec.penalty, 0.6 * 0.7)
+    np.testing.assert_allclose(rec.score, rec.completion * 0.42)
+    sm = StatisticsManager()
+    sm.add(rec)
+    g = sm.global_record()
+    assert g["routes"] == 1
+    np.testing.assert_allclose(g["score_composed"], rec.score)
+
+
+def test_scenario_trigger_spawns_crossing():
+    env = SimDrivingEnv(seed=0, seq_length=2)
+    env.reset()
+    n0 = len(env._obstacles)
+    trig = ScenarioTrigger("dynamic_object_crossing", env._pos.copy())
+    mgr = ScenarioManager([trig], rng=np.random.RandomState(0))
+    env._scenario_manager = mgr
+    env.step([0.0, 0.3, 0.0])
+    assert trig.fired
+    assert len(env._obstacles) == n0 + 1
+    walker = env._obstacles[-1]
+    p0 = walker.pos.copy()
+    env.step([0.0, 0.3, 0.0])
+    assert not np.allclose(walker.pos, p0)  # crossing is moving
+
+
+def test_control_loss_injects_noise():
+    env = SimDrivingEnv(seed=1, seq_length=2)
+    env.reset()
+    trig = ScenarioTrigger("control_loss", env._pos.copy())
+    env._scenario_manager = ScenarioManager([trig],
+                                            rng=np.random.RandomState(0))
+    env.step([0.0, 0.5, 0.0])
+    assert env._control_noise != 0.0
+
+
+def test_all_behavior_kinds_buildable():
+    env = SimDrivingEnv(seed=2, seq_length=2)
+    env.reset()
+    kinds = set(SCENARIO_BEHAVIORS.values())
+    triggers = [ScenarioTrigger(k, env._pos.copy()) for k in kinds]
+    mgr = ScenarioManager(triggers, rng=np.random.RandomState(0))
+    env._scenario_manager = mgr
+    env.step([0.0, 0.3, 0.0])
+    assert all(t.fired for t in triggers)
+    assert len(mgr.active) >= len(kinds) - 1  # control_loss may finish fast
