@@ -162,7 +162,9 @@ class PerceptionTrainer:
     def solve(self, loader, epochs: Optional[int] = None,
               work_dir: Optional[str] = None, save_interval: int = 5,
               rng: Optional[jax.Array] = None,
-              eval_loader=None) -> Dict[str, float]:
+              eval_loader=None, prefetch: bool = True) -> Dict[str, float]:
+        from cadre_tpu.rl.pipeline import DevicePrefetcher
+
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         epochs = epochs or self.tp.max_epochs
         last: Dict[str, float] = {}
@@ -170,7 +172,8 @@ class PerceptionTrainer:
             t0 = time.time()
             agg: Dict[str, float] = {}
             n = 0
-            for batch in loader:
+            batches = DevicePrefetcher(loader) if prefetch else loader
+            for batch in batches:
                 rng, key = jax.random.split(rng)
                 losses = self.train_step(batch, key)
                 for k, v in losses.items():
