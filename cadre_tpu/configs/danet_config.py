@@ -9,8 +9,6 @@ att_type 'transformer', da_feature_channel 512, inter_att_dims 512.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 
 @dataclasses.dataclass(frozen=True)
 class DANetParams:

@@ -25,12 +25,7 @@ import numpy as np
 
 from cadre_tpu.envs.criteria import Criterion
 from cadre_tpu.envs.events import TrafficEvent
-from cadre_tpu.envs.reward import (
-    RewardConfig,
-    RewardResult,
-    RewardState,
-    compute_reward,
-)
+from cadre_tpu.envs.reward import RewardConfig, RewardState, compute_reward
 from cadre_tpu.envs.road_option import RoadOption, command_index
 from cadre_tpu.envs.route_fig import TurnState, draw_route
 

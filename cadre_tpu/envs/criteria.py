@@ -15,8 +15,7 @@ a CARLA-backed env.
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import List, Optional, Sequence
+from typing import List
 
 import numpy as np
 
@@ -84,10 +83,11 @@ class RouteCompletionCriterion(Criterion):
             return
         n = len(self._route)
         hi = min(self._index + 50, n)
-        for i in range(self._index, hi):
-            d = float(np.hypot(*(self._route[i] - snap.pos)))
-            if d < self.DISTANCE_THRESHOLD:
-                self._index = i
+        window = self._route[self._index:hi]
+        d = np.hypot(window[:, 0] - snap.pos[0], window[:, 1] - snap.pos[1])
+        close = np.nonzero(d < self.DISTANCE_THRESHOLD)[0]
+        if len(close):
+            self._index += int(close[-1])
         self.actual_value = round(
             100.0 * self._cum[self._index] / self._total, 2)
         if self.actual_value >= self._terminate_pct:

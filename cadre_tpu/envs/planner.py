@@ -51,26 +51,29 @@ class RoutePlanner:
 
     def run_step(self, gps: np.ndarray
                  ) -> Tuple[np.ndarray, RoadOption, List[np.ndarray]]:
-        """(near_node, near_command, route_list ahead) (planner.py:312-355)."""
-        to_pop = 0
-        farthest_in_range = -np.inf
-        cumulative = 0.0
-        route_list = [self.route[0][0]]
+        """(near_node, near_command, route_list ahead) (planner.py:312-355).
 
+        Vectorized over the lookahead window (this runs on the 10 Hz hot
+        path for every env instance).
+        """
         if len(self.route) == 1:
-            return self.route[0][0], self.route[0][1], route_list
+            return self.route[0][0], self.route[0][1], [self.route[0][0]]
 
-        for i in range(1, len(self.route)):
-            if cumulative > self.max_distance:
-                break
-            cumulative += float(np.hypot(*(self.route[i][0]
-                                           - self.route[i - 1][0])))
-            distance = float(np.hypot(*(self.route[i][0] - gps)))
-            if distance <= self.min_distance and distance > farthest_in_range:
-                farthest_in_range = distance
-                to_pop = i
-            route_list.append(self.route[i][0])
+        # consider at most the window that can fit max_distance (1 m-dense
+        # routes) plus slack for sparse ones
+        window = min(len(self.route), int(self.max_distance) * 3 + 2)
+        pts = np.asarray([self.route[i][0] for i in range(window)])
+        seg = np.hypot(*(pts[1:] - pts[:-1]).T)
+        cumulative = np.cumsum(seg)
+        # reference loop breaks AFTER adding the first point past max dist
+        n_ahead = int(np.searchsorted(cumulative, self.max_distance)) + 1
+        n_ahead = min(n_ahead + 1, len(pts))  # include the break-step point
 
+        dist = np.hypot(*(pts[1:n_ahead] - gps).T)
+        in_range = dist <= self.min_distance
+        to_pop = int(np.argmax(dist * in_range)) + 1 if in_range.any() else 0
+
+        route_list = [pts[i] for i in range(n_ahead)]
         for _ in range(to_pop):
             if len(self.route) > 2:
                 self.route.popleft()

@@ -18,11 +18,9 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
-
-from cadre_tpu.envs.road_option import RoadOption
 
 SIZE_X = 144   # canvas width (ego x axis)
 SIZE_Y = 256   # canvas height (ego y axis)
@@ -62,6 +60,14 @@ def rasterize_polyline(points_px: np.ndarray, height: int = SIZE_Y,
     pts = np.asarray(points_px, np.float64)
     if len(pts) < 2:
         return fig
+
+    # native fast path (cadre_tpu/runtime/raster.cpp)
+    from cadre_tpu.runtime.native_raster import rasterize_polyline_native
+
+    native = rasterize_polyline_native(pts, height, width, line_width)
+    if native is not None:
+        return native
+
     half = line_width / 2.0
 
     # sample centers along the whole polyline every ~1.5 px
@@ -93,11 +99,11 @@ def ego_frame_px(points: Sequence[np.ndarray], pos: np.ndarray,
                  pixels_per_meter: float = PIXELS_PER_METER) -> np.ndarray:
     """World/GPS-meter points -> ego-frame pixel coords centered on canvas."""
     r = _rotation(compass)
-    out = []
-    for p in points:
-        x, y = pixels_per_meter * (r.T @ (np.asarray(p) - pos))
-        out.append((x + SIZE_X / 2, y + SIZE_Y / 2))
-    return np.asarray(out)
+    pts = np.asarray(points, np.float64).reshape(-1, 2)
+    out = pixels_per_meter * ((pts - pos) @ r)  # (R.T @ v) == v @ R
+    out[:, 0] += SIZE_X / 2
+    out[:, 1] += SIZE_Y / 2
+    return out
 
 
 def perpendicular_distance(route_list: Sequence[np.ndarray],

@@ -14,7 +14,7 @@ import dataclasses
 import json
 import os
 import xml.etree.ElementTree as ET
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 

@@ -242,20 +242,21 @@ class SimDrivingEnv(BaseDrivingEnv):
         f = 128.0  # focal (pixels), 90-degree fov at 256 wide
         horizon = h // 2
         cam_h = 1.3
-        for p in self._route_xy[:: 2]:
-            rel = p - self._pos
-            xf = rel[0] * cos_y + rel[1] * sin_y        # forward
-            yl = -rel[0] * sin_y + rel[1] * cos_y       # left(+)
-            if xf < 1.0 or xf > 60.0:
-                continue
-            u = int(w / 2 - f * yl / xf)
-            v = int(horizon + f * cam_h / xf)
-            if 0 <= u < w and 0 <= v < h:
-                r = max(1, int(6.0 / xf * 4))
-                img[max(0, v - r):min(h, v + r),
-                    max(0, u - r):min(w, u + r)] = (200, 200, 200)
-                seg[max(0, v - r):min(h, v + r),
-                    max(0, u - r):min(w, u + r)] = 7  # road line
+        # vectorized projection of route markers
+        rel = self._route_xy[::2] - self._pos
+        xf_all = rel[:, 0] * cos_y + rel[:, 1] * sin_y   # forward
+        yl_all = -rel[:, 0] * sin_y + rel[:, 1] * cos_y  # left(+)
+        vis = (xf_all >= 1.0) & (xf_all <= 60.0)
+        xf_v, yl_v = xf_all[vis], yl_all[vis]
+        us = (w / 2 - f * yl_v / xf_v).astype(np.int64)
+        vs = (horizon + f * cam_h / xf_v).astype(np.int64)
+        rs = np.maximum(1, (24.0 / xf_v).astype(np.int64))
+        on = (us >= 0) & (us < w) & (vs >= 0) & (vs < h)
+        for u, v, r in zip(us[on], vs[on], rs[on]):
+            img[max(0, v - r):min(h, v + r),
+                max(0, u - r):min(w, u + r)] = (200, 200, 200)
+            seg[max(0, v - r):min(h, v + r),
+                max(0, u - r):min(w, u + r)] = 7  # road line
         for ob in self._obstacles:
             rel = ob.pos - self._pos
             xf = rel[0] * cos_y + rel[1] * sin_y

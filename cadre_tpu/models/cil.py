@@ -11,7 +11,7 @@ pattern as the RL policy bank — TPU-friendly, no python branching.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ TPU-first: NHWC layout, BatchNorm with optional cross-replica axis, bf16-ready
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 from flax import linen as nn
 
 from cadre_tpu.models.torch_compat import batch_norm, conv, max_pool_torch

@@ -10,7 +10,7 @@ Everything here is NHWC (TPU-native); the torch->flax checkpoint importer in
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple, Union
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,6 @@ with a shared conv-block vocabulary.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -8,7 +8,7 @@ ICI inside the jitted update (cadre_tpu/rl/ppo.py make_update_fn).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -8,8 +8,6 @@ SyncBN behavior, without a wrapper module.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
-
 import jax
 import jax.numpy as jnp
 import optax

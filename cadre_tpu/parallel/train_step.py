@@ -9,11 +9,9 @@ Params and optimizer state stay replicated, so the reference's explicit
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cadre_tpu.models.policy import PolicyBankDef

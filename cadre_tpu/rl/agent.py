@@ -26,15 +26,13 @@ K-checkpoint ensemble is a vmap over stacked params (`EnsembleAgent`).
 from __future__ import annotations
 
 import dataclasses
-import functools
-import os
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cadre_tpu.configs.agent_config import AgentConfig, RolloutConfig
+from cadre_tpu.configs.agent_config import AgentConfig
 from cadre_tpu.configs.danet_config import DANetParams, danet_params
 from cadre_tpu.models.danet import DANet, create_danet
 from cadre_tpu.models.policy import PolicyBankDef

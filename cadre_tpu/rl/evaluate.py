@@ -10,10 +10,9 @@ reference runs sequentially are a single fused device step.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
-import numpy as np
 
 from cadre_tpu.configs.agent_config import EvalConfig, avg_action
 from cadre_tpu.rl.agent import CadreAgent, EnsembleAgent

@@ -16,7 +16,7 @@ norm-clipped at 250, then Adam(3e-4). The TPU equivalent is a psum over the
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

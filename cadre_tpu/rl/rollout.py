@@ -16,7 +16,7 @@ permutation from an explicit rng.
 """
 from __future__ import annotations
 
-from typing import Iterator, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import chex
 import jax

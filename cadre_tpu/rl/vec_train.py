@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Any, Callable, Dict, List, Optional
+from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +31,7 @@ from cadre_tpu.rl.rollout import (
     normalize_advantages,
 )
 from cadre_tpu.utils.logger import logger
+from cadre_tpu.utils.profiling import PhaseTimer
 
 
 @dataclasses.dataclass
@@ -85,19 +86,22 @@ def train_vec(vec_env, agent: CadreAgent,
         model_dir = os.path.join(work_dir, "models")
         os.makedirs(model_dir, exist_ok=True)
 
+    timer = PhaseTimer()
     for it in range(iterations):
         t0 = time.time()
         reward_sums = np.zeros(2)
         for step in range(t_steps):
             rng, key = jax.random.split(rng)
             commands = tick["command"]
-            feats, steer_out, throttle_out, hidden_new = agent.act_vec(
-                tick, hidden, key)
-            steer_a = np.asarray(steer_out.action)
-            throttle_a = np.asarray(throttle_out.action)
+            with timer.phase("act"):
+                feats, steer_out, throttle_out, hidden_new = agent.act_vec(
+                    tick, hidden, key)
+                steer_a = np.asarray(steer_out.action)
+                throttle_a = np.asarray(throttle_out.action)
             controls = [convert_action(int(sa), int(ta))
                         for sa, ta in zip(steer_a, throttle_a)]
-            tick, rewards, dones, infos = vec_env.step(controls)
+            with timer.phase("env"):
+                tick, rewards, dones, infos = vec_env.step(controls)
             steer_done = np.asarray(
                 [i["action_done"][0] for i in infos], np.float32)
             throttle_done = np.asarray(
@@ -134,11 +138,12 @@ def train_vec(vec_env, agent: CadreAgent,
             t_perm = jax.random.permutation(k2, total_rows)
             for m in range(rollout_cfg.mini_batch_num):
                 sl = slice(m * mb_size, (m + 1) * mb_size)
-                s_mb = gather_minibatch_batched(steer_buf, s_ret, s_adv,
-                                                s_perm[sl])
-                t_mb = gather_minibatch_batched(throttle_buf, t_ret, t_adv,
-                                                t_perm[sl])
-                losses.append(agent.update_policy(s_mb, t_mb))
+                with timer.phase("update"):
+                    s_mb = gather_minibatch_batched(steer_buf, s_ret, s_adv,
+                                                    s_perm[sl])
+                    t_mb = gather_minibatch_batched(throttle_buf, t_ret,
+                                                    t_adv, t_perm[sl])
+                    losses.append(agent.update_policy(s_mb, t_mb))
 
         dt = time.time() - t0
         eps = vec_env.pop_episode_stats()
@@ -156,11 +161,15 @@ def train_vec(vec_env, agent: CadreAgent,
         if iteration_hook:
             iteration_hook(stats)
         if it % train_cfg.log_interval == 0:
+            rep = timer.report()
+            phases = " ".join(f"{k}={v['mean_ms']:.1f}ms"
+                              for k, v in rep.items())
+            timer.reset()
             logger.log(
                 f"iter {it}: {stats.env_steps_per_sec:.0f} env-steps/s, "
                 f"value {vl:.4f}, policy {pl:.4f}, ent {el:.4f}, "
                 f"{stats.episodes_finished} eps done "
-                f"(mean completion {stats.mean_completion:.1f}%)")
+                f"(mean completion {stats.mean_completion:.1f}%) [{phases}]")
         if model_dir is not None and it % train_cfg.save_interval == 0:
             agent.save_snapshot(
                 f"{model_dir}/ppo_model_{it}.msgpack")

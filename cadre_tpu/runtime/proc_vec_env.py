@@ -16,7 +16,7 @@ import os
 import pickle
 import struct
 import time
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Sequence
 
 import numpy as np
 

@@ -16,6 +16,8 @@ import jax
 
 def parse_args():
     p = argparse.ArgumentParser(description="Train CADRE-TPU")
+    p.add_argument("--config", default=None,
+                   help="config_files/*.py experiment (Config.fromfile)")
     p.add_argument("--env", default="sim", choices=["sim", "fake", "carla"])
     p.add_argument("--episodes", type=int, default=3000)
     p.add_argument("--num-steps", type=int, default=200)
@@ -83,10 +85,20 @@ def main():
                               danet_cfg=danet_cfg, danet_vars=danet_vars)
 
     env = build_env(args, work_dir)
-    rollout_cfg = RolloutConfig(num_steps=args.num_steps,
-                                seq_length=args.seq_length,
-                                feature_dims=agent.obs_dim)
-    train_cfg = TrainConfig(max_episode=args.episodes)
+    if args.config:
+        import dataclasses
+
+        from cadre_tpu.configs.loader import load_experiment
+
+        exp = load_experiment(args.config)
+        rollout_cfg = dataclasses.replace(exp["rollout"],
+                                          feature_dims=agent.obs_dim)
+        train_cfg = exp["train"]
+    else:
+        rollout_cfg = RolloutConfig(num_steps=args.num_steps,
+                                    seq_length=args.seq_length,
+                                    feature_dims=agent.obs_dim)
+        train_cfg = TrainConfig(max_episode=args.episodes)
     train(env, agent, rollout_cfg, train_cfg, rank=0, work_dir=work_dir,
           seed=args.seed)
 
