@@ -53,8 +53,11 @@ def train_vec(vec_env, agent: CadreAgent,
               train_cfg: Optional[TrainConfig] = None,
               iterations: int = 100, seed: int = 0,
               work_dir: Optional[str] = None,
-              iteration_hook: Optional[Callable] = None
-              ) -> List[VecEpisodeStats]:
+              iteration_hook: Optional[Callable] = None,
+              fused_update: bool = True) -> List[VecEpisodeStats]:
+    """`fused_update` runs the whole GAE+epochs update phase as ONE jitted
+    program (rl/fused_update.py) — one dispatch per iteration instead of
+    ppo_epoch x mini_batch_num."""
     rollout_cfg = rollout_cfg or RolloutConfig()
     train_cfg = train_cfg or TrainConfig()
     n = vec_env.num_envs
@@ -85,6 +88,18 @@ def train_vec(vec_env, agent: CadreAgent,
     if work_dir is not None:
         model_dir = os.path.join(work_dir, "models")
         os.makedirs(model_dir, exist_ok=True)
+
+    fused_fn = None
+    if fused_update:
+        from cadre_tpu.rl.fused_update import make_fused_iteration_update
+
+        import dataclasses as _dc
+
+        ppo_cfg = _dc.replace(agent.ppo_cfg,
+                              ppo_epoch=train_cfg.ppo_epoch,
+                              gamma=rollout_cfg.gamma, tau=rollout_cfg.tau)
+        fused_fn = make_fused_iteration_update(
+            agent.steer_def, agent.throttle_def, ppo_cfg, rollout_cfg)
 
     timer = PhaseTimer()
     for it in range(iterations):
@@ -121,34 +136,44 @@ def train_vec(vec_env, agent: CadreAgent,
         # bootstrap from the live post-rollout observation
         rng, key = jax.random.split(rng)
         _, steer_fin, throttle_fin, _ = agent.act_vec(tick, hidden, key)
-        s_ret, s_adv = batched_returns(steer_buf, steer_fin.value,
-                                       rollout_cfg.gamma, rollout_cfg.tau)
-        t_ret, t_adv = batched_returns(throttle_buf, throttle_fin.value,
-                                       rollout_cfg.gamma, rollout_cfg.tau)
-        if train_cfg.use_adv_norm:
-            s_adv = normalize_advantages(s_adv)
-            t_adv = normalize_advantages(t_adv)
 
-        losses = []
-        total_rows = t_steps * n
-        mb_size = total_rows // rollout_cfg.mini_batch_num
-        for _ in range(train_cfg.ppo_epoch):
-            rng, k1, k2 = jax.random.split(rng, 3)
-            s_perm = jax.random.permutation(k1, total_rows)
-            t_perm = jax.random.permutation(k2, total_rows)
-            for m in range(rollout_cfg.mini_batch_num):
-                sl = slice(m * mb_size, (m + 1) * mb_size)
-                with timer.phase("update"):
-                    s_mb = gather_minibatch_batched(steer_buf, s_ret, s_adv,
-                                                    s_perm[sl])
-                    t_mb = gather_minibatch_batched(throttle_buf, t_ret,
-                                                    t_adv, t_perm[sl])
-                    losses.append(agent.update_policy(s_mb, t_mb))
+        if fused_fn is not None:
+            rng, key = jax.random.split(rng)
+            with timer.phase("update"):
+                agent.params, agent.opt_state, aux = fused_fn(
+                    agent.params, agent.opt_state, steer_buf, throttle_buf,
+                    (steer_fin.value, throttle_fin.value), key)
+                vl, pl, el = (float(aux.value_loss), float(aux.action_loss),
+                              float(aux.entropy_loss))
+        else:
+            s_ret, s_adv = batched_returns(steer_buf, steer_fin.value,
+                                           rollout_cfg.gamma, rollout_cfg.tau)
+            t_ret, t_adv = batched_returns(throttle_buf, throttle_fin.value,
+                                           rollout_cfg.gamma, rollout_cfg.tau)
+            if train_cfg.use_adv_norm:
+                s_adv = normalize_advantages(s_adv)
+                t_adv = normalize_advantages(t_adv)
+
+            losses = []
+            total_rows = t_steps * n
+            mb_size = total_rows // rollout_cfg.mini_batch_num
+            for _ in range(train_cfg.ppo_epoch):
+                rng, k1, k2 = jax.random.split(rng, 3)
+                s_perm = jax.random.permutation(k1, total_rows)
+                t_perm = jax.random.permutation(k2, total_rows)
+                for m in range(rollout_cfg.mini_batch_num):
+                    sl = slice(m * mb_size, (m + 1) * mb_size)
+                    with timer.phase("update"):
+                        s_mb = gather_minibatch_batched(
+                            steer_buf, s_ret, s_adv, s_perm[sl])
+                        t_mb = gather_minibatch_batched(
+                            throttle_buf, t_ret, t_adv, t_perm[sl])
+                        losses.append(agent.update_policy(s_mb, t_mb))
+            vl, pl, el = [float(np.mean([l[i] for l in losses]))
+                          for i in range(3)]
 
         dt = time.time() - t0
         eps = vec_env.pop_episode_stats()
-        vl, pl, el = [float(np.mean([l[i] for l in losses]))
-                      for i in range(3)]
         stats = VecEpisodeStats(
             iteration=it, value_loss=vl, policy_loss=pl, entropy_loss=el,
             env_steps=t_steps * n, env_steps_per_sec=t_steps * n / dt,
