@@ -16,7 +16,6 @@ Subclasses implement the world: `_world_reset`, `_world_step`, `_world_tick`.
 """
 from __future__ import annotations
 
-import copy
 import csv
 import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -45,7 +44,8 @@ class BaseDrivingEnv:
         self.rank = rank
         self.work_dir = work_dir
         self._step_count = 0
-        self._history: Dict[str, List[Any]] = {}
+        self._history: Dict[str, Any] = {}
+        self._hist_index = 0
         self._turn_state = TurnState()
         self._reward_state = RewardState()
         self._criteria: List[Criterion] = []
@@ -116,14 +116,34 @@ class BaseDrivingEnv:
         return raw
 
     def _push_history(self, tick: Dict[str, Any]) -> Dict[str, Any]:
+        """Maintain the seq_length frame histories.
+
+        Double-length ring: each frame is written at i and i+seq so the
+        ordered window is always a contiguous zero-copy view (this runs per
+        tick per env; np.array(list-of-frames) was the next-largest host
+        cost after rendering).
+
+        NOTE: tick['rgb'/'measurements'/'route_fig'] are VIEWS valid for the
+        current step only — they are overwritten seq_length steps later.
+        Consumers that retain them across steps (dataset collection,
+        episode recording) must .copy().
+        """
+        s = self.seq_length
+        i = self._hist_index % s
         for key, src in [("rgb", "last_rgb"),
                          ("measurements", "last_measurements"),
                          ("route_fig", "last_route_fig")]:
-            buf = self._history.setdefault(key, [])
-            while len(buf) >= self.seq_length:
-                del buf[0]
-            buf.append(copy.deepcopy(tick[src]))
-            tick[key] = np.array(buf)
+            frame = np.asarray(tick[src])
+            ring = self._history.get(key)
+            if ring is None or ring.shape[1:] != frame.shape:
+                ring = np.zeros((2 * s,) + frame.shape, frame.dtype)
+                # pre-fill so short histories replicate the first frame
+                ring[:] = frame
+                self._history[key] = ring
+            ring[i] = frame
+            ring[i + s] = frame
+            tick[key] = ring[i + 1: i + 1 + s]
+        self._hist_index += 1
         return tick
 
     def reset(self) -> Dict[str, Any]:
@@ -132,6 +152,7 @@ class BaseDrivingEnv:
         self._reward_state = RewardState()
         self._event_num = np.zeros(16)
         self._history = {}
+        self._hist_index = 0
         self.error_message = ""
         self._world_reset()
         tick = self._assemble_tick()

@@ -24,9 +24,10 @@ def record_episodes(env, controller: Callable[[Any, Dict], List[float]],
     tick = env.reset()
     for _ in range(n_steps):
         control = controller(env, tick)
-        ticks["rgb"].append(tick["rgb"])
-        ticks["route_fig"].append(tick["route_fig"])
-        ticks["measurements"].append(tick["measurements"])
+        # histories are ring views — copy anything retained across steps
+        ticks["rgb"].append(np.array(tick["rgb"]))
+        ticks["route_fig"].append(np.array(tick["route_fig"]))
+        ticks["measurements"].append(np.array(tick["measurements"]))
         ticks["command"].append(tick["command"])
         tick, reward, done, _ = env.step(control)
         ticks["reward"].append(np.asarray(reward))

@@ -39,9 +39,10 @@ def collect_dataset(env, expert, n_frames: int, out_dir: str,
         rgb, seg = env._render_rgb(with_seg=True)
         buf["camera_rgb"].append(rgb)
         buf["camera_seg"].append(seg)
-        buf["route_fig"].append(tick["route_fig"][-1]
-                                if "route_fig" in tick
-                                else tick["last_route_fig"])
+        # histories are ring views — copy anything retained across steps
+        buf["route_fig"].append(np.array(
+            tick["route_fig"][-1] if "route_fig" in tick
+            else tick["last_route_fig"]))
         buf["speed"].append(tick.get("speed", 0.0))
         buf["target_speed"].append(7.0)
         buf["steer"].append(control[0])
