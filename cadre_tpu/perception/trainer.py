@@ -191,7 +191,20 @@ class PerceptionTrainer:
                 metrics = self.evaluate(eval_loader)
                 logger.log(f"  eval: " + ", ".join(
                     f"{k}={v:.3f}" for k, v in metrics.items()))
+                if work_dir:
+                    self._dump_recon(eval_loader, work_dir, epoch)
         return last
+
+    def _dump_recon(self, loader, work_dir: str, epoch: int) -> None:
+        """recon_epoch{N}/ visualization grids (auto_trainer.py:112-265)."""
+        from cadre_tpu.perception.visualize import dump_visualizations
+
+        batch = next(iter(loader))
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        outputs = self._apply(self.state.params, self.state.batch_stats,
+                              jb, False)
+        dump_visualizations(batch, jax.tree.map(np.asarray, outputs),
+                            work_dir, epoch)
 
     def evaluate(self, loader) -> Dict[str, float]:
         agg: Dict[str, float] = {}

@@ -21,6 +21,20 @@ class Logger:
         self._row: Dict[str, Any] = {}
         self._prefix = ""
         self.work_dir: Optional[str] = None
+        self._tb = None
+        self._tb_step = 0
+
+    def enable_tensorboard(self, logdir: Optional[str] = None) -> bool:
+        """Optional TensorBoard scalars (the reference's tensorboardX
+        writer, experiments_builder.py:36-37). Uses torch's bundled writer;
+        returns False if unavailable."""
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+        except ImportError:
+            return False
+        self._tb = SummaryWriter(logdir or os.path.join(
+            self.work_dir or ".", "tb"))
+        return True
 
     def setup(self, work_dir: str, text_name: str = "debug.log",
               tabular_name: str = "progress.csv") -> None:
@@ -46,6 +60,13 @@ class Logger:
         self._row[self._prefix + key] = val
 
     def dump_tabular(self) -> None:
+        if self._tb is not None:
+            self._tb_step += 1
+            for k, v in self._row.items():
+                try:
+                    self._tb.add_scalar(k, float(v), self._tb_step)
+                except (TypeError, ValueError):
+                    pass
         if not self._row or self._tabular_path is None:
             self._row = {}
             return
