@@ -37,6 +37,28 @@ class SimObstacle:
     heading: float = 0.0
 
 
+# Weather presets for the renderer (the IL dataset is collected under 15+
+# CARLA weathers, statics/vae_agent.py): (sky RGB, brightness, noise std)
+WEATHER_PRESETS = {
+    "ClearNoon": ((135, 180, 235), 1.00, 0.0),
+    "CloudyNoon": ((160, 165, 175), 0.90, 0.0),
+    "WetNoon": ((120, 140, 165), 0.85, 2.0),
+    "WetCloudyNoon": ((140, 145, 155), 0.80, 2.0),
+    "MidRainyNoon": ((110, 120, 135), 0.70, 5.0),
+    "HardRainNoon": ((90, 100, 115), 0.60, 8.0),
+    "SoftRainNoon": ((125, 135, 150), 0.80, 3.0),
+    "ClearSunset": ((230, 150, 90), 0.85, 0.0),
+    "CloudySunset": ((190, 140, 110), 0.75, 0.0),
+    "WetSunset": ((180, 130, 100), 0.70, 2.0),
+    "WetCloudySunset": ((165, 125, 105), 0.65, 2.0),
+    "MidRainSunset": ((140, 110, 95), 0.60, 5.0),
+    "HardRainSunset": ((120, 95, 85), 0.50, 8.0),
+    "SoftRainSunset": ((170, 125, 100), 0.70, 3.0),
+    "ClearNight": ((25, 30, 50), 0.35, 1.0),
+    "HardRainNight": ((15, 20, 35), 0.25, 8.0),
+}
+
+
 def synthetic_route(rng: np.random.RandomState, n_legs: int = 3,
                     leg_len: Tuple[float, float] = (40.0, 90.0)
                     ) -> np.ndarray:
@@ -62,10 +84,14 @@ class SimDrivingEnv(BaseDrivingEnv):
                  seed: int = 0, training: bool = True,
                  use_priority_indexer: Optional[bool] = None,
                  render_camera: bool = True,
+                 weather: Optional[str] = "ClearNoon",
+                 randomize_weather: bool = False,
                  **kwargs):
         super().__init__(training=training, **kwargs)
         self._rng = np.random.RandomState(seed)
         self.render_camera = render_camera
+        self.weather = weather or "ClearNoon"
+        self._randomize_weather = randomize_weather
         self._vehicle_num = vehicle_num
         if routes_file is not None:
             if use_priority_indexer is None:
@@ -101,6 +127,9 @@ class SimDrivingEnv(BaseDrivingEnv):
     # ---------------- world interface ----------------
 
     def _world_reset(self) -> None:
+        if self._randomize_weather:
+            names = list(WEATHER_PRESETS)
+            self.weather = names[self._rng.randint(len(names))]
         if self.route_indexer is not None and self.route_indexer.peek():
             cfg = self.route_indexer.next()
             self._current_config = cfg
@@ -230,9 +259,11 @@ class SimDrivingEnv(BaseDrivingEnv):
         + obstacle blobs. State-dependent enough for the encoder to learn.
         With `with_seg`, also returns the ground-truth class map [H,W]."""
         h, w = SIZE_X, SIZE_Y  # 144 x 256
+        sky, brightness, noise_std = WEATHER_PRESETS.get(
+            self.weather, WEATHER_PRESETS["ClearNoon"])
         img = np.zeros((h, w, 3), np.uint8)
         seg = np.zeros((h, w), np.uint8)
-        img[: h // 2] = (135, 180, 235)   # sky
+        img[: h // 2] = sky
         img[h // 2:] = (90, 90, 90)       # asphalt
         seg[h // 2:] = 1                  # road
         if not self.render_camera:
@@ -273,6 +304,14 @@ class SimDrivingEnv(BaseDrivingEnv):
                 seg[max(0, v - 2 * r):min(h, v),
                     max(0, u - r):min(w, u + r)] = \
                     2 if ob.kind != "walker" else 3
+        # weather pass: global brightness below the horizon + sensor noise
+        if brightness != 1.0:
+            ground = img[h // 2:].astype(np.int16)
+            img[h // 2:] = (ground * brightness).astype(np.uint8)
+        if noise_std > 0:
+            noise = self._rng.randn(h, w, 3) * noise_std
+            img = np.clip(img.astype(np.int16) + noise.astype(np.int16),
+                          0, 255).astype(np.uint8)
         return (img, seg) if with_seg else img
 
     def _world_tick(self) -> Dict[str, Any]:

@@ -239,13 +239,26 @@ class CadreAgent:
 
     # ---------------- snapshots ----------------
 
-    def save_snapshot(self, path: str):
-        ckpt.save_pytree(path, {"steer": self.params["steer"],
-                                "throttle": self.params["throttle"]})
+    def save_snapshot(self, path: str, include_opt: bool = False):
+        """Policy-bank snapshot; `include_opt` also persists optimizer state
+        for exact training resume (the reference never checkpointed its
+        Adam state, SURVEY §5.4 — a resume gap we close)."""
+        tree = {"steer": self.params["steer"],
+                "throttle": self.params["throttle"]}
+        ckpt.save_pytree(path, tree)
+        if include_opt:
+            ckpt.save_pytree(path + ".opt", self.opt_state)
 
-    def load_snapshot(self, path: str):
-        self.params = ckpt.load_pytree(path, {"steer": self.params["steer"],
-                                              "throttle": self.params["throttle"]})
+    def load_snapshot(self, path: str, include_opt: bool = False):
+        self.params = ckpt.load_pytree(
+            path, {"steer": self.params["steer"],
+                   "throttle": self.params["throttle"]})
+        if include_opt:
+            import os
+
+            if os.path.exists(path + ".opt"):
+                self.opt_state = ckpt.load_pytree(path + ".opt",
+                                                  self.opt_state)
 
 
 class EnsembleAgent:

@@ -124,3 +124,42 @@ def test_all_behavior_kinds_buildable():
     env.step([0.0, 0.3, 0.0])
     assert all(t.fired for t in triggers)
     assert len(mgr.active) >= len(kinds) - 1  # control_loss may finish fast
+
+
+def test_weather_presets_change_render():
+    from cadre_tpu.envs.sim_env import WEATHER_PRESETS
+
+    assert len(WEATHER_PRESETS) >= 15  # the reference collects 15+ weathers
+    imgs = {}
+    for wname in ["ClearNoon", "HardRainNight"]:
+        env = SimDrivingEnv(seed=0, seq_length=2, weather=wname)
+        tick = env.reset()
+        imgs[wname] = np.asarray(tick["rgb"][-1], np.int64)
+    # night render is much darker than noon
+    assert imgs["HardRainNight"].mean() < imgs["ClearNoon"].mean() - 20
+
+
+def test_randomized_weather_on_reset():
+    env = SimDrivingEnv(seed=3, seq_length=2, randomize_weather=True)
+    seen = set()
+    for _ in range(6):
+        env.reset()
+        seen.add(env.weather)
+    assert len(seen) >= 2
+
+
+def test_snapshot_with_optimizer_state(tmp_path):
+    import jax
+
+    from cadre_tpu.configs.danet_config import danet_params
+    from cadre_tpu.rl.agent import CadreAgent
+
+    small = danet_params(image_height=64, image_width=96, feat_h=2, feat_w=3,
+                         da_feature_channel=64, inter_att_dims=48, z_dims=32)
+    agent = CadreAgent.create(jax.random.PRNGKey(0), danet_cfg=small)
+    p = str(tmp_path / "snap.msgpack")
+    agent.save_snapshot(p, include_opt=True)
+    import os
+
+    assert os.path.exists(p + ".opt")
+    agent.load_snapshot(p, include_opt=True)

@@ -46,7 +46,7 @@ def main():
         from cadre_tpu.envs.sim_env import SimDrivingEnv
 
         env = SimDrivingEnv(seed=args.seed, seq_length=2,
-                            vehicle_num=(8, 4))
+                            vehicle_num=(8, 4), randomize_weather=True)
         collect_dataset(env, OracleExpert(), args.collect, args.data_dir,
                         seed=args.seed)
 
