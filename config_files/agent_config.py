@@ -6,19 +6,23 @@ Loaded with `cadre_tpu.utils.config.Config.fromfile`; values here are the
 production NoCrash training setup.
 """
 
-# 3-bin throttle LUT: index -> (throttle, brake)
+# 3-bin throttle LUT: index -> (throttle, brake): coast / brake / throttle
 THROTTLE_CONTROL = {0: [0, 0], 1: [0, 1], 2: [0.6, 0]}
 
-# 33-bin steering LUT: index -> steer in [-1, 1]
-STEER_CONTROL = {
-    0: -8 / 16, 1: -7 / 16, 2: -6 / 16, 3: -5 / 16, 4: -4 / 16,
-    5: -3 / 16, 6: -2 / 16, 7: -1 / 16, 8: 0.0, 9: 1 / 16,
-    10: 2 / 16, 11: 3 / 16, 12: 4 / 16, 13: 5 / 16, 14: 6 / 16,
-    15: 7 / 16, 16: 8 / 16, 17: 9 / 16, 18: -9 / 16, 19: 10 / 16,
-    20: -10 / 16, 21: 11 / 16, 22: -11 / 16, 23: 12 / 16, 24: -12 / 16,
-    25: 13 / 16, 26: -13 / 16, 27: 14 / 16, 28: -14 / 16, 29: 15 / 16,
-    30: -15 / 16, 31: 1.0, 32: -1.0,
-}
+
+def _steer_lut():
+    """33 steering bins in sixteenths: indices 0-16 sweep -8/16..8/16,
+    then +k/-k pairs widen to +-16/16."""
+    lut = {i: (i - 8) / 16.0 for i in range(17)}
+    idx = 17
+    for k in range(9, 17):
+        lut[idx] = k / 16.0
+        lut[idx + 1] = -k / 16.0
+        idx += 2
+    return lut
+
+
+STEER_CONTROL = _steer_lut()
 
 rollout_cfg = dict(
     num_steps=200,
