@@ -198,6 +198,34 @@ class BlockedCriterion(Criterion):
             self._below = 0
 
 
+class RouteTimeoutCriterion(Criterion):
+    """Episode timeout scaled by route length (route_scenario.py:271-283):
+    timeout_s = SECONDS_GIVEN_PER_METER * length + INITIAL_SECONDS. Emits a
+    ROUTE_COMPLETION (incomplete) event on expiry."""
+
+    name = "RouteTimeoutTest"
+    SECONDS_GIVEN_PER_METER = 0.8
+    INITIAL_SECONDS = 5.0
+
+    def __init__(self, route_length_m: float, dt: float = 0.1):
+        super().__init__()
+        self.timeout_s = (self.SECONDS_GIVEN_PER_METER * route_length_m
+                          + self.INITIAL_SECONDS)
+        self._max_ticks = int(self.timeout_s / dt)
+        self._ticks = 0
+        self._fired = False
+
+    def update(self, snap: VehicleSnapshot) -> None:
+        if self._fired:
+            return
+        self._ticks += 1
+        if self._ticks >= self._max_ticks:
+            self._fired = True
+            self.test_status = "FAILURE"
+            self.list_traffic_events.append(TrafficEvent(
+                TrafficEventType.ROUTE_COMPLETION, "Route timeout"))
+
+
 class RunningRedLightCriterion(Criterion):
     """Red-light infraction (atomic_criteria.py:1836+)."""
 
@@ -221,10 +249,14 @@ class RunningStopCriterion(Criterion):
 
 
 def default_criteria(route_xy: np.ndarray, dt: float = 0.1,
-                     blocked_seconds: float = 180.0) -> List[Criterion]:
-    """The 7-criterion set of RouteScenario._create_test_criteria."""
+                     blocked_seconds: float = 180.0,
+                     with_timeout: bool = True) -> List[Criterion]:
+    """The criterion set of RouteScenario._create_test_criteria (+ the
+    route-length-scaled episode timeout)."""
     completion = RouteCompletionCriterion(route_xy)
-    return [
+    seg = np.diff(np.asarray(route_xy, np.float64), axis=0)
+    length_m = float(np.hypot(seg[:, 0], seg[:, 1]).sum()) if len(seg) else 0.0
+    crits: List[Criterion] = [
         completion,
         OutsideRouteLanesCriterion(),
         CollisionCriterion(),
@@ -233,3 +265,6 @@ def default_criteria(route_xy: np.ndarray, dt: float = 0.1,
         InRouteCriterion(route_xy, completion),
         BlockedCriterion(max_time=blocked_seconds, dt=dt),
     ]
+    if with_timeout:
+        crits.append(RouteTimeoutCriterion(length_m, dt=dt))
+    return crits

@@ -291,3 +291,31 @@ def test_fake_env_replay():
     for i in range(5):
         tick, r, done, info = env.step([0.1, 0.5, 0.0])
     assert done and env.completion_ratio == 100.0
+
+
+def test_route_timeout_criterion():
+    from cadre_tpu.envs.criteria import RouteTimeoutCriterion
+
+    crit = RouteTimeoutCriterion(route_length_m=10.0, dt=0.1)
+    # timeout = 0.8*10 + 5 = 13 s -> 130 ticks
+    assert crit._max_ticks == 130
+    snap = VehicleSnapshot(pos=np.zeros(2), yaw=0.0, speed=0.0)
+    for _ in range(129):
+        crit.update(snap)
+    assert not crit.list_traffic_events
+    crit.update(snap)
+    assert crit.list_traffic_events[0].get_type() == \
+        TrafficEventType.ROUTE_COMPLETION
+
+
+def test_sim_env_times_out_when_idle():
+    env = SimDrivingEnv(seed=7, seq_length=2)
+    env.reset()
+    done, msg, steps = False, "", 0
+    # coast without throttle: blocked (400 ticks) or timeout ends it
+    while not done and steps < 3000:
+        _, _, done, info = env.step([0.0, 0.0, 0.0])
+        msg = info["error_message"]
+        steps += 1
+    assert done
+    assert msg in ("vehicle blocked", "route completion with 0")
