@@ -212,3 +212,31 @@ def test_rollout_end_to_end_gae(small_banks):
     mb = gather_minibatch(buf, returns, adv_n,
                           minibatch_indices(jax.random.PRNGKey(0), 8, 2)[0])
     assert mb.obs_seq.shape == (2, 4, 4)
+
+
+def test_ordinal_policy_bank_acts_and_updates():
+    """The reference's dormant ordinal transform (distributions.py:68-79)
+    exposed as a working option: act + masked evaluation + grads flow."""
+    f = 10
+    bank = PolicyBankDef(num_commands=4, num_outputs=7, feature_dim=f,
+                         ordinal=True)
+    params = bank.init_params(jax.random.PRNGKey(0))
+    obs = jax.random.normal(jax.random.PRNGKey(1), (2, 3, f))
+    carry = (jnp.zeros((3, f)), jnp.zeros((3, f)))
+    out, _ = bank.act_batch(params, jnp.asarray([0, 1, 2]), obs, carry,
+                            jax.random.PRNGKey(2))
+    assert out.action.shape == (3,)
+    assert np.isfinite(np.asarray(out.log_prob)).all()
+    values, lps, ents = bank.evaluate_masked(
+        params, obs, carry, out.action, jnp.asarray([0, 1, 2]))
+    assert np.isfinite(np.asarray(lps)).all()
+
+    def loss(p):
+        _, lps, _ = bank.evaluate_masked(p, obs, carry, out.action,
+                                         jnp.asarray([0, 1, 2]))
+        return -lps.sum()
+
+    grads = jax.grad(loss)(params)
+    gnorm = sum(float(jnp.abs(g).sum())
+                for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0
