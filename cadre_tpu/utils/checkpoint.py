@@ -226,3 +226,18 @@ def load_danet_pt(path: str, cfg, key: str = "autoencoder"):
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return import_danet_torch(sd, cfg)
+
+
+def load_danet_checkpoint(path: str, cfg):
+    """Format-sniffing loader: torch .pt (reference format) or flax .msgpack
+    (PerceptionTrainer output). Returns DANet variables."""
+    if path.endswith((".pt", ".pth")):
+        return load_danet_pt(path, cfg)
+    import jax
+
+    from cadre_tpu.models.danet import create_danet
+
+    _, like = create_danet(cfg, jax.random.PRNGKey(0))
+    tree = load_pytree(path, {"params": like["params"],
+                              "batch_stats": like.get("batch_stats", {})})
+    return {"params": tree["params"], "batch_stats": tree["batch_stats"]}

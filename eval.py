@@ -49,9 +49,9 @@ def main():
         da_feature_channel=64, inter_att_dims=48, z_dims=32)
     danet_vars = None
     if args.danet_checkpoint:
-        from cadre_tpu.utils.checkpoint import load_danet_pt
+        from cadre_tpu.utils.checkpoint import load_danet_checkpoint
 
-        danet_vars = load_danet_pt(args.danet_checkpoint, danet_cfg)
+        danet_vars = load_danet_checkpoint(args.danet_checkpoint, danet_cfg)
     agent = CadreAgent.create(jax.random.PRNGKey(args.seed),
                               danet_cfg=danet_cfg, danet_vars=danet_vars)
 
