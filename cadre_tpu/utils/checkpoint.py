@@ -228,6 +228,87 @@ def load_danet_pt(path: str, cfg, key: str = "autoencoder"):
     return import_danet_torch(sd, cfg)
 
 
+def import_policy_torch(snapshot: Dict[str, Any], steer_params,
+                        throttle_params, num_commands: int = 4):
+    """Convert a reference RL snapshot (ppo_agent/agent.py:245-260 format:
+    '{steer,throttle}_{ppo,lstm}_{k}' torch modules/state_dicts) into our
+    stacked command-bank params.
+
+    Banks missing from the snapshot are left at their current values — the
+    reference's own save_snapshot omits throttle_lstm and double-saves
+    steer_ppo (agent.py:247-258), so round-tripping its real checkpoints
+    requires tolerating absences. Returns ({'steer':..., 'throttle':...},
+    missing_keys).
+    """
+    def to_sd(mod):
+        return mod.state_dict() if hasattr(mod, "state_dict") else mod
+
+    def ac_params(sd):
+        return {
+            "control": {
+                "fc1": _dense(sd, "control.linear.0.weight",
+                              "control.linear.0.bias"),
+                "fc2": _dense(sd, "control.linear.2.weight",
+                              "control.linear.2.bias"),
+                "fc3": _dense(sd, "control.linear.4.weight",
+                              "control.linear.4.bias"),
+            },
+            "critic_fc1": _dense(sd, "critic.0.weight", "critic.0.bias"),
+            "critic_fc2": _dense(sd, "critic.2.weight", "critic.2.bias"),
+            "critic_fc3": _dense(sd, "critic.4.weight", "critic.4.bias"),
+        }
+
+    def lstm_params(sd):
+        return {"rnn": {
+            "weight_ih": jnp.asarray(_t(sd["rnn.weight_ih"])),
+            "weight_hh": jnp.asarray(_t(sd["rnn.weight_hh"])),
+            "bias_ih": jnp.asarray(_t(sd["rnn.bias_ih"])),
+            "bias_hh": jnp.asarray(_t(sd["rnn.bias_hh"])),
+        }}
+
+    missing = []
+    out = {"steer": jax.tree.map(lambda x: np.array(x), steer_params),
+           "throttle": jax.tree.map(lambda x: np.array(x), throttle_params)}
+
+    def set_bank(signal, kind, k, tree):
+        bank = out[signal][kind] if kind in out[signal] else None
+        # stacked layout: out[signal]['ac'|'lstm'][...][k]
+        def assign(dst, src):
+            for key, val in src.items():
+                if isinstance(val, dict):
+                    assign(dst[key], val)
+                else:
+                    dst[key][k] = np.asarray(val)
+
+        assign(out[signal][kind], tree)
+
+    for signal in ("steer", "throttle"):
+        for k in range(num_commands):
+            ppo_key = f"{signal}_ppo_{k}"
+            lstm_key = f"{signal}_lstm_{k}"
+            if ppo_key in snapshot:
+                set_bank(signal, "ac", k, ac_params(to_sd(snapshot[ppo_key])))
+            else:
+                missing.append(ppo_key)
+            if lstm_key in snapshot:
+                set_bank(signal, "lstm", k,
+                         lstm_params(to_sd(snapshot[lstm_key])))
+            else:
+                missing.append(lstm_key)
+    out = jax.tree.map(jnp.asarray, out)
+    return out, missing
+
+
+def load_policy_pt(path: str, steer_params, throttle_params,
+                   num_commands: int = 4):
+    """Load a reference ppo_model_{N}.pt snapshot into stacked banks."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    return import_policy_torch(blob, steer_params, throttle_params,
+                               num_commands)
+
+
 def load_danet_checkpoint(path: str, cfg):
     """Format-sniffing loader: torch .pt (reference format) or flax .msgpack
     (PerceptionTrainer output). Returns DANet variables."""
