@@ -263,10 +263,20 @@ class CadreAgent:
 
 class EnsembleAgent:
     """K-checkpoint ensemble as a vmap axis (replaces eval.py's K sequential
-    agents; SURVEY §2.7 'ensemble parallelism')."""
+    agents; SURVEY §2.7 'ensemble parallelism'). Accepts our .msgpack
+    snapshots and reference ppo_model_{N}.pt files interchangeably."""
+
+    @staticmethod
+    def _load(path: str, agent: CadreAgent):
+        if path.endswith((".pt", ".pth")):
+            params, missing = ckpt.load_policy_pt(
+                path, agent.params["steer"], agent.params["throttle"],
+                agent.agent_cfg.command_num)
+            return params
+        return ckpt.load_pytree(path, agent.params)
 
     def __init__(self, agent: CadreAgent, snapshot_paths):
-        banks = [ckpt.load_pytree(p, agent.params) for p in snapshot_paths]
+        banks = [self._load(p, agent) for p in snapshot_paths]
         self.k = len(banks)
         self.stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *banks)
         self.agent = agent

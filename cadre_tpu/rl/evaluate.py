@@ -25,15 +25,19 @@ class EvalEpisodeResult:
     steps: int
     completion_ratio: float
     error_message: str
+    driving_score: float = 0.0
 
 
 def evaluate(env, agent: CadreAgent, snapshot_paths: Sequence[str],
              eval_cfg: Optional[EvalConfig] = None, seed: int = 0,
              max_steps: int = 6000) -> List[EvalEpisodeResult]:
+    from cadre_tpu.envs.scoring import StatisticsManager
+
     eval_cfg = eval_cfg or EvalConfig()
     ens = EnsembleAgent(agent, list(snapshot_paths))
     rng = jax.random.PRNGKey(seed)
     results: List[EvalEpisodeResult] = []
+    stats = StatisticsManager()
     for episode in range(eval_cfg.eval_episode):
         obs = env.reset()
         done, steps = False, 0
@@ -46,7 +50,21 @@ def evaluate(env, agent: CadreAgent, snapshot_paths: Sequence[str],
             msg = info.get("error_message", "")
             steps += 1
         ratio = getattr(env, "completion_ratio", 0.0)
-        results.append(EvalEpisodeResult(episode, steps, ratio, msg))
+        score = ratio
+        criteria = getattr(env, "_criteria", None)
+        if criteria:
+            rec = stats.compute(str(getattr(env, "route_name", episode)),
+                                criteria)
+            score = rec.score
+            if not done:  # episode cut by max_steps: use live progress
+                ratio = rec.completion
+        results.append(EvalEpisodeResult(episode, steps, ratio, msg, score))
         logger.log(f"eval episode {episode}: {steps} steps, completion "
-                   f"{ratio:.1f}%, end: {msg!r}")
+                   f"{ratio:.1f}%, driving score {score:.1f}, end: {msg!r}")
+    if stats.records:
+        g = stats.global_record()
+        logger.log(
+            f"driving score over {g['routes']} routes: composed "
+            f"{g['score_composed']:.1f} (route {g['score_route']:.1f} x "
+            f"penalty {g['score_penalty']:.2f})")
     return results
