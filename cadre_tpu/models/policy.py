@@ -89,6 +89,49 @@ class LSTMModel(nn.Module):
         return carry, carry[0]
 
 
+class TransformerMemory(nn.Module):
+    """Causal-attention alternative to the LSTM memory (beyond-parity
+    extension, SURVEY §5.7).
+
+    The reference's LSTM carry is effectively always zero (agent.py:38-40,
+    123-124), so its memory is exactly the seq_length frame window — which a
+    small causal transformer models natively and in parallel on the MXU
+    instead of a sequential scan. Interface-compatible with
+    LSTMModel.unroll: xs [T, N, F] -> (carry, feat [N, F]); the carry is
+    passed through untouched (stateless over the window).
+    """
+
+    hidden: int
+    num_layers: int = 2
+    num_heads: int = 2
+    max_len: int = 32
+
+    @nn.compact
+    def unroll(self, xs, carry):
+        t, n, f = xs.shape
+        x = jnp.transpose(xs, (1, 0, 2))  # [N, T, F]
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (self.max_len, self.hidden))
+        x = nn.Dense(self.hidden, name="in_proj")(x) + pos[:t]
+        mask = nn.make_causal_mask(jnp.ones((n, t)))
+        for i in range(self.num_layers):
+            y = nn.LayerNorm(name=f"ln1_{i}")(x)
+            y = nn.SelfAttention(num_heads=self.num_heads,
+                                 name=f"attn_{i}")(y, mask=mask)
+            x = x + y
+            y = nn.LayerNorm(name=f"ln2_{i}")(x)
+            y = nn.Dense(4 * self.hidden, name=f"mlp1_{i}")(y)
+            y = nn.Dense(self.hidden, name=f"mlp2_{i}")(nn.gelu(y))
+            x = x + y
+        x = nn.LayerNorm(name="ln_out")(x)
+        return carry, x[:, -1, :]  # newest-frame representation
+
+    def __call__(self, x, carry):
+        """Single-step fallback: treat the step as a length-1 window."""
+        carry, feat = self.unroll(x[None], carry)
+        return feat, carry
+
+
 class CategoricalHead(nn.Module):
     """Actor MLP -> logits (distributions.py:34-40); optional ordinal mode."""
 
@@ -149,22 +192,38 @@ class PolicyOutput(NamedTuple):
 
 @dataclasses.dataclass
 class PolicyBankDef:
-    """Static definition of one signal's policy bank (e.g. steer)."""
+    """Static definition of one signal's policy bank (e.g. steer).
+
+    `memory`: 'lstm' (reference parity), 'transformer' (beyond-parity
+    causal-attention window memory), or 'none'. `use_lstm=False` is the
+    legacy spelling of memory='none'.
+    """
 
     num_commands: int
     num_outputs: int
     feature_dim: int
     use_lstm: bool = True
     ordinal: bool = False
+    memory: str = "lstm"
+
+    @property
+    def _memory_kind(self):
+        return self.memory if self.use_lstm else "none"
 
     def make_modules(self):
         ac = ActorCritic(self.num_outputs, ordinal=self.ordinal)
-        lstm = LSTMModel(self.feature_dim) if self.use_lstm else None
-        return ac, lstm
+        kind = self._memory_kind
+        if kind == "lstm":
+            mem = LSTMModel(self.feature_dim)
+        elif kind == "transformer":
+            mem = TransformerMemory(self.feature_dim)
+        else:
+            mem = None
+        return ac, mem
 
     def init_params(self, rng: jax.Array):
         """Stacked params with leading [num_commands] axis per bank."""
-        ac, lstm = self.make_modules()
+        ac, mem = self.make_modules()
         x = jnp.zeros((1, self.feature_dim))
         carry = (jnp.zeros((1, self.feature_dim)),
                  jnp.zeros((1, self.feature_dim)))
@@ -172,8 +231,8 @@ class PolicyBankDef:
         def init_one(key):
             k1, k2 = jax.random.split(key)
             p = {"ac": ac.init(k1, x)["params"]}
-            if self.use_lstm:
-                p["lstm"] = lstm.init(k2, x, carry)["params"]
+            if mem is not None:
+                p["lstm"] = mem.init(k2, x, carry)["params"]
             return p
 
         keys = jax.random.split(rng, self.num_commands)
@@ -185,12 +244,12 @@ class PolicyBankDef:
         return jax.tree.map(lambda p: p[command], bank_params)
 
     def features(self, bank_params, command, obs, carry):
-        """LSTM step for one command: obs [N,F] -> (feat [N,F], carry)."""
-        if not self.use_lstm:
+        """Memory step for one command: obs [N,F] -> (feat [N,F], carry)."""
+        _, mem = self.make_modules()
+        if mem is None:
             return obs, carry
-        _, lstm = self.make_modules()
         p = self._select(bank_params, command)
-        return lstm.apply({"params": p["lstm"]}, obs, carry)
+        return mem.apply({"params": p["lstm"]}, obs, carry)
 
     def act(self, bank_params, command, obs, carry, rng):
         """Single-env act (agent.py:114-141): LSTM -> sample + value."""
@@ -203,14 +262,14 @@ class PolicyBankDef:
         return PolicyOutput(action, log_prob, value[..., 0], logits), new_carry
 
     def act_seq(self, bank_params, command, obs_seq, carry, rng):
-        """Act from a feature sequence [T, N, F] unrolled through the LSTM
+        """Act from a feature sequence [T, N, F] unrolled through the memory
         (the reference's act feeds all 8 frame features each step,
         models.py:144-151 via agent.py:123-124)."""
-        ac, lstm = self.make_modules()
+        ac, mem = self.make_modules()
         p = self._select(bank_params, command)
-        if self.use_lstm:
-            new_carry, feat = lstm.apply({"params": p["lstm"]}, obs_seq,
-                                         carry, method=LSTMModel.unroll)
+        if mem is not None:
+            new_carry, feat = mem.apply({"params": p["lstm"]}, obs_seq,
+                                        carry, method=type(mem).unroll)
         else:
             feat, new_carry = obs_seq[-1], carry
         logits, value = ac.apply({"params": p["ac"]}, feat)
@@ -234,12 +293,12 @@ class PolicyBankDef:
         Returns (PolicyOutput of [N] arrays, carry [N,F] pair from the
         selected banks).
         """
-        ac, lstm = self.make_modules()
+        ac, mem = self.make_modules()
 
         def eval_one(p):
-            if self.use_lstm:
-                new_carry, feat = lstm.apply({"params": p["lstm"]}, obs_seq,
-                                             carry, method=LSTMModel.unroll)
+            if mem is not None:
+                new_carry, feat = mem.apply({"params": p["lstm"]}, obs_seq,
+                                            carry, method=type(mem).unroll)
             else:
                 feat, new_carry = obs_seq[-1], carry
             logits, value = ac.apply({"params": p["ac"]}, feat)
@@ -265,12 +324,12 @@ class PolicyBankDef:
         masked by command_b == c — identical math to the reference's
         sum-of-masked-banks.
         """
-        ac, lstm = self.make_modules()
+        ac, mem = self.make_modules()
 
         def eval_one(p):
-            if self.use_lstm:
-                feat = lstm.apply({"params": p["lstm"]}, obs_seq, carry,
-                                  method=LSTMModel.unroll)[1]
+            if mem is not None:
+                feat = mem.apply({"params": p["lstm"]}, obs_seq, carry,
+                                 method=type(mem).unroll)[1]
             else:
                 feat = obs_seq[-1]
             logits, value = ac.apply({"params": p["ac"]}, feat)
