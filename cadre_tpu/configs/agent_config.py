@@ -56,6 +56,7 @@ class AgentConfig:
     clip: float = 0.1
     vae_params: str = "CoPM"   # 'CoPM' | 'CoPM w/o att' | others (z not doubled)
     ordinal: bool = False      # expose the reference's dormant ordinal option
+    memory: str = "lstm"       # 'lstm' (parity) | 'transformer' | 'none'
 
     @property
     def obs_dim(self) -> int:

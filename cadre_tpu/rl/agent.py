@@ -120,11 +120,13 @@ class CadreAgent:
         steer_def = PolicyBankDef(agent_cfg.command_num,
                                   agent_cfg.num_steer_outputs, f,
                                   use_lstm=agent_cfg.use_lstm,
-                                  ordinal=agent_cfg.ordinal)
+                                  ordinal=agent_cfg.ordinal,
+                                  memory=agent_cfg.memory)
         throttle_def = PolicyBankDef(agent_cfg.command_num,
                                      agent_cfg.num_throttle_outputs, f,
                                      use_lstm=agent_cfg.use_lstm,
-                                     ordinal=agent_cfg.ordinal)
+                                     ordinal=agent_cfg.ordinal,
+                                     memory=agent_cfg.memory)
         params = {"steer": steer_def.init_params(k2),
                   "throttle": throttle_def.init_params(k3)}
         return cls(agent_cfg=agent_cfg, danet_cfg=danet_cfg, danet=danet,
