@@ -194,6 +194,61 @@ class CadreAgent:
             jnp.asarray(tick_batch["command"], jnp.int32),
             hidden, rng)
 
+    # ------------- incremental (device-resident feature history) -------------
+
+    def _encode_last(self, danet_vars, rgb_last, route_last, meas_last):
+        """Encode ONLY the newest frame per env: [N,H,W,3] -> [N,F].
+
+        The frame-feature history lives on device (see act_vec_incremental);
+        per-tick host->device traffic drops from N*T frames to N frames —
+        the PCIe/tunnel-bound fix for the act path.
+        """
+        x = preprocess_obs(rgb_last, route_last)
+        return latent_features(self.danet, danet_vars, x, meas_last)
+
+    def _act_from_hist(self, params, feat_hist, commands, hidden, rng):
+        """feat_hist: [T, N, F] device-resident features -> batched act."""
+        rs, rt = jax.random.split(rng)
+        steer_out, hidden_s = self.steer_def.act_batch(
+            params["steer"], commands, feat_hist, hidden, rs)
+        throttle_out, _ = self.throttle_def.act_batch(
+            params["throttle"], commands, feat_hist, hidden, rt)
+        return steer_out, throttle_out, hidden_s
+
+    def act_vec_incremental(self, tick_batch: Dict[str, Any], feat_hist,
+                            hidden, rng: jax.Array,
+                            refresh: bool = False):
+        """Batched act with a device-resident feature history.
+
+        feat_hist: [T, N, F] or None. With refresh/None the full history is
+        (re)encoded from the tick's frame stack (needed after env resets);
+        otherwise only the newest frame is encoded and shifted in.
+        Returns (steer_out, throttle_out, hidden, new_feat_hist).
+        """
+        if not hasattr(self, "_enc_last_jit"):
+            self._enc_last_jit = jax.jit(self._encode_last)
+            self._act_hist_jit = jax.jit(self._act_from_hist)
+
+            def _shift(hist, new):
+                return jnp.concatenate([hist[1:], new[None]], axis=0)
+
+            self._shift_jit = jax.jit(_shift)
+        commands = jnp.asarray(tick_batch["command"], jnp.int32)
+        if feat_hist is None or refresh:
+            feats, steer_out, throttle_out, hidden_s = self.act_vec(
+                tick_batch, hidden, rng)
+            return steer_out, throttle_out, hidden_s, \
+                jnp.transpose(feats, (1, 0, 2))
+        new_feats = self._enc_last_jit(
+            self.danet_vars,
+            jnp.asarray(tick_batch["rgb"][:, -1]),
+            jnp.asarray(tick_batch["route_fig"][:, -1]),
+            jnp.asarray(tick_batch["measurements"][:, -1]))
+        feat_hist = self._shift_jit(feat_hist, new_feats)
+        steer_out, throttle_out, hidden_s = self._act_hist_jit(
+            self.params, feat_hist, commands, hidden, rng)
+        return steer_out, throttle_out, hidden_s, feat_hist
+
     def _bootstrap_value(self, params, steer_obs, steer_cmd, throttle_obs,
                          throttle_cmd, hidden):
         """Next-state values for GAE bootstrap (agent.py:143-164).

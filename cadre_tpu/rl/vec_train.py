@@ -54,10 +54,13 @@ def train_vec(vec_env, agent: CadreAgent,
               iterations: int = 100, seed: int = 0,
               work_dir: Optional[str] = None,
               iteration_hook: Optional[Callable] = None,
-              fused_update: bool = True) -> List[VecEpisodeStats]:
+              fused_update: bool = True,
+              incremental_features: bool = True) -> List[VecEpisodeStats]:
     """`fused_update` runs the whole GAE+epochs update phase as ONE jitted
     program (rl/fused_update.py) — one dispatch per iteration instead of
-    ppo_epoch x mini_batch_num."""
+    ppo_epoch x mini_batch_num. `incremental_features` keeps the frame-
+    feature history on device and ships only the newest frame per tick
+    (refreshing the full window after any env reset)."""
     rollout_cfg = rollout_cfg or RolloutConfig()
     train_cfg = train_cfg or TrainConfig()
     n = vec_env.num_envs
@@ -102,6 +105,8 @@ def train_vec(vec_env, agent: CadreAgent,
             agent.steer_def, agent.throttle_def, ppo_cfg, rollout_cfg)
 
     timer = PhaseTimer()
+    feat_hist = None          # [T, N, F] device-resident (incremental path)
+    need_refresh = True
     for it in range(iterations):
         t0 = time.time()
         reward_sums = np.zeros(2)
@@ -109,14 +114,23 @@ def train_vec(vec_env, agent: CadreAgent,
             rng, key = jax.random.split(rng)
             commands = tick["command"]
             with timer.phase("act"):
-                feats, steer_out, throttle_out, hidden_new = agent.act_vec(
-                    tick, hidden, key)
+                if incremental_features:
+                    steer_out, throttle_out, hidden_new, feat_hist = \
+                        agent.act_vec_incremental(tick, feat_hist, hidden,
+                                                  key, refresh=need_refresh)
+                    need_refresh = False
+                    feats = jnp.transpose(feat_hist, (1, 0, 2))
+                else:
+                    feats, steer_out, throttle_out, hidden_new = \
+                        agent.act_vec(tick, hidden, key)
                 steer_a = np.asarray(steer_out.action)
                 throttle_a = np.asarray(throttle_out.action)
             controls = [convert_action(int(sa), int(ta))
                         for sa, ta in zip(steer_a, throttle_a)]
             with timer.phase("env"):
                 tick, rewards, dones, infos = vec_env.step(controls)
+            if incremental_features and bool(np.any(dones)):
+                need_refresh = True  # reset envs restart their histories
             steer_done = np.asarray(
                 [i["action_done"][0] for i in infos], np.float32)
             throttle_done = np.asarray(
@@ -135,7 +149,13 @@ def train_vec(vec_env, agent: CadreAgent,
 
         # bootstrap from the live post-rollout observation
         rng, key = jax.random.split(rng)
-        _, steer_fin, throttle_fin, _ = agent.act_vec(tick, hidden, key)
+        if incremental_features:
+            steer_fin, throttle_fin, _, feat_hist = \
+                agent.act_vec_incremental(tick, feat_hist, hidden, key,
+                                          refresh=need_refresh)
+            need_refresh = True  # history now includes the bootstrap frame
+        else:
+            _, steer_fin, throttle_fin, _ = agent.act_vec(tick, hidden, key)
 
         if fused_fn is not None:
             rng, key = jax.random.split(rng)

@@ -91,3 +91,36 @@ def test_train_vec_fake_envs(tmp_path):
     import os
 
     assert os.path.exists(tmp_path / "models" / "ppo_model_0.msgpack")
+
+
+def test_incremental_features_match_full_recompute():
+    """Device-resident shifted feature history must equal full-window
+    recompute (deterministic encoder, matching env window semantics)."""
+    agent = CadreAgent.create(jax.random.PRNGKey(0), danet_cfg=SMALL)
+    n, t, h, w = 3, 3, 64, 96
+    rng = np.random.RandomState(0)
+
+    def make_tick(step):
+        rgb = rng.randint(0, 255, (n, t, h, w, 3)).astype(np.uint8)
+        route = (rng.rand(n, t, w, h) * 255).astype(np.uint8)
+        meas = rng.rand(n, t, 3).astype(np.float32)
+        return {"rgb": rgb, "route_fig": route, "measurements": meas,
+                "command": np.zeros(n, np.int32)}
+
+    ticks = [make_tick(i) for i in range(4)]
+    # simulate the env's shifting window: tick k+1 shares frames 1..T-1
+    for k in range(1, 4):
+        ticks[k]["rgb"][:, :-1] = ticks[k - 1]["rgb"][:, 1:]
+        ticks[k]["route_fig"][:, :-1] = ticks[k - 1]["route_fig"][:, 1:]
+        ticks[k]["measurements"][:, :-1] = ticks[k - 1]["measurements"][:, 1:]
+
+    hidden = (jnp.zeros((n, agent.obs_dim)), jnp.zeros((n, agent.obs_dim)))
+    feat_hist = None
+    for k, tick in enumerate(ticks):
+        _, _, _, feat_hist = agent.act_vec_incremental(
+            tick, feat_hist, hidden, jax.random.PRNGKey(k),
+            refresh=(k == 0))
+        full_feats, *_ = agent.act_vec(tick, hidden, jax.random.PRNGKey(k))
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(feat_hist, (1, 0, 2))),
+            np.asarray(full_feats), rtol=2e-4, atol=2e-5)
