@@ -225,28 +225,31 @@ class CadreAgent:
         otherwise only the newest frame is encoded and shifted in.
         Returns (steer_out, throttle_out, hidden, new_feat_hist).
         """
-        if not hasattr(self, "_enc_last_jit"):
-            self._enc_last_jit = jax.jit(self._encode_last)
-            self._act_hist_jit = jax.jit(self._act_from_hist)
+        if not hasattr(self, "_incr_jit"):
 
-            def _shift(hist, new):
-                return jnp.concatenate([hist[1:], new[None]], axis=0)
+            def _incremental(params, danet_vars, hist, rgb_last, route_last,
+                             meas_last, commands, hidden_, rng_):
+                new_feats = self._encode_last(danet_vars, rgb_last,
+                                              route_last, meas_last)
+                hist = jnp.concatenate([hist[1:], new_feats[None]], axis=0)
+                outs = self._act_from_hist(params, hist, commands, hidden_,
+                                           rng_)
+                return outs + (hist,)
 
-            self._shift_jit = jax.jit(_shift)
+            # one dispatch per tick: encode newest frame + shift + act
+            self._incr_jit = jax.jit(_incremental)
         commands = jnp.asarray(tick_batch["command"], jnp.int32)
         if feat_hist is None or refresh:
             feats, steer_out, throttle_out, hidden_s = self.act_vec(
                 tick_batch, hidden, rng)
             return steer_out, throttle_out, hidden_s, \
                 jnp.transpose(feats, (1, 0, 2))
-        new_feats = self._enc_last_jit(
-            self.danet_vars,
+        steer_out, throttle_out, hidden_s, feat_hist = self._incr_jit(
+            self.params, self.danet_vars, feat_hist,
             jnp.asarray(tick_batch["rgb"][:, -1]),
             jnp.asarray(tick_batch["route_fig"][:, -1]),
-            jnp.asarray(tick_batch["measurements"][:, -1]))
-        feat_hist = self._shift_jit(feat_hist, new_feats)
-        steer_out, throttle_out, hidden_s = self._act_hist_jit(
-            self.params, feat_hist, commands, hidden, rng)
+            jnp.asarray(tick_batch["measurements"][:, -1]),
+            commands, hidden, rng)
         return steer_out, throttle_out, hidden_s, feat_hist
 
     def _bootstrap_value(self, params, steer_obs, steer_cmd, throttle_obs,
