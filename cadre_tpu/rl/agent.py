@@ -68,8 +68,14 @@ def preprocess_obs(rgb: jax.Array, route_fig: jax.Array) -> jax.Array:
 
 def latent_features(danet: DANet, danet_vars, x: jax.Array,
                     measurements: jax.Array) -> jax.Array:
-    """Frozen encoder latent + measurements tiled x6 (agent.py:97-112)."""
-    z = danet.apply(danet_vars, x, method=DANet.latent)
+    """Frozen encoder latent + measurements tiled x6 (agent.py:97-112).
+
+    If the encoder params are bf16 (utils.precision.bf16_variables), the
+    input is cast to match and the latent is returned in f32 for the policy.
+    """
+    enc_dtype = jax.tree_util.tree_leaves(danet_vars["params"])[0].dtype
+    z = danet.apply(danet_vars, x.astype(enc_dtype), method=DANet.latent)
+    z = z.astype(jnp.float32)
     meas = jnp.tile(measurements.astype(jnp.float32), (1, 6))
     return jnp.concatenate([z, meas], axis=-1)
 
@@ -109,13 +115,17 @@ class CadreAgent:
     def create(cls, rng: jax.Array, agent_cfg: AgentConfig | None = None,
                danet_cfg: DANetParams | None = None,
                ppo_cfg: PPOConfig | None = None,
-               danet_vars=None):
+               danet_vars=None, bf16_encoder: bool = False):
         agent_cfg = agent_cfg or AgentConfig()
         danet_cfg = danet_cfg or danet_params()
         ppo_cfg = ppo_cfg or PPOConfig()
         k1, k2, k3 = jax.random.split(rng, 3)
         danet, fresh_vars = create_danet(danet_cfg, k1)
         danet_vars = danet_vars if danet_vars is not None else fresh_vars
+        if bf16_encoder:
+            from cadre_tpu.utils.precision import bf16_variables
+
+            danet_vars = bf16_variables(danet_vars)
         f = danet_cfg.latent_dim + agent_cfg.measurement_dim
         steer_def = PolicyBankDef(agent_cfg.command_num,
                                   agent_cfg.num_steer_outputs, f,

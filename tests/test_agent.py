@@ -106,3 +106,15 @@ def test_action_luts():
     assert c[2] == 0.5
     c = avg_action([(8, 1), (8, 0), (8, 0)])  # mean 1/3 < 0.5 -> zeroed
     assert c[2] == 0.0
+
+
+def test_bf16_encoder_agent():
+    import jax.numpy as jnp
+
+    agent = CadreAgent.create(jax.random.PRNGKey(0), danet_cfg=SMALL_DANET,
+                              bf16_encoder=True)
+    leaf = jax.tree_util.tree_leaves(agent.danet_vars["params"])[0]
+    assert leaf.dtype == jnp.bfloat16
+    out = agent.act(_tick(), jax.random.PRNGKey(1))
+    assert out.features.dtype == jnp.float32
+    assert np.isfinite(float(out.steer_log_prob))
