@@ -182,11 +182,20 @@ class ScenarioManager:
     @classmethod
     def from_annotations(cls, annotations: Sequence[Dict[str, Any]],
                          route_xy: np.ndarray, max_dist: float = 15.0,
-                         rng: Optional[np.random.RandomState] = None
-                         ) -> "ScenarioManager":
+                         rng: Optional[np.random.RandomState] = None,
+                         sample: bool = False,
+                         no_repeat: bool = False) -> "ScenarioManager":
         """Match scenario JSON trigger transforms to route waypoints
-        (scan_route_for_scenarios role, route_scenario.py:235-243)."""
-        triggers = []
+        (scan_route_for_scenarios role, route_scenario.py:235-243).
+
+        `sample=True` keeps ONE candidate per trigger location, chosen at
+        random (the `_scenario_sampling` role, route_scenario.py:315-366).
+        `no_repeat=True` additionally instantiates each scenario kind at
+        most once per episode (the no_repeat_route_scenario.py variant,
+        which avoids spawning the same scenario class repeatedly).
+        """
+        rng = rng or np.random.RandomState()
+        on_route = []
         for ann in annotations:
             kind = SCENARIO_BEHAVIORS.get(ann.get("type", ""))
             if kind is None:
@@ -194,7 +203,25 @@ class ScenarioManager:
             pos = np.array([ann["x"], ann["y"]])
             d = np.hypot(route_xy[:, 0] - pos[0], route_xy[:, 1] - pos[1])
             if d.min() <= max_dist:
-                triggers.append(ScenarioTrigger(kind, pos))
+                on_route.append((kind, pos))
+        if sample:
+            # cluster candidates that share a trigger location; keep one
+            groups: List[List[tuple]] = []
+            for kind, pos in on_route:
+                for g in groups:
+                    if float(np.hypot(*(g[0][1] - pos))) < 2.0:
+                        g.append((kind, pos))
+                        break
+                else:
+                    groups.append([(kind, pos)])
+            on_route = [g[rng.randint(len(g))] for g in groups]
+        triggers = []
+        used_kinds = set()
+        for kind, pos in on_route:
+            if no_repeat and kind in used_kinds:
+                continue
+            used_kinds.add(kind)
+            triggers.append(ScenarioTrigger(kind, pos))
         return cls(triggers, rng)
 
     def tick(self, env) -> None:

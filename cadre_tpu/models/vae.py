@@ -23,10 +23,12 @@ from cadre_tpu.configs.danet_config import DANetParams
 from cadre_tpu.models.danet import VisualBranch, BCBranch, DANetHead
 from cadre_tpu.models.resnet import ResNetBackbone
 from cadre_tpu.models.torch_compat import (
+    ConvTransposeTorch,
     batch_norm,
     conv,
     flatten_nchw,
     leaky_relu,
+    unflatten_nchw,
 )
 
 
@@ -171,3 +173,112 @@ class DABetaVAE(nn.Module):
         if mode == "add":
             return v_mu + b_mu
         return jnp.concatenate([v_mu, b_mu], axis=-1)
+
+
+class OldStem(nn.Module):
+    """old_vae per-modality conv stem (old_vae.py:37-52):
+    Conv(32,5,2,p5) -> 3x Conv(64,3,2,p3), LeakyReLU between; 144x256 -> 13x20."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = leaky_relu(conv(32, 5, 2, 5, name="conv0")(x))
+        x = leaky_relu(conv(64, 3, 2, 3, name="conv1")(x))
+        x = leaky_relu(conv(64, 3, 2, 3, name="conv2")(x))
+        return conv(64, 3, 2, 3, name="conv3")(x)
+
+
+class OldDeconv(nn.Module):
+    """old_vae deconv stack (old_vae.py:98-140): fc 1024 -> [B,64,9,16] ->
+    4x ConvTranspose(4, stride 2, pad 1) doubling to 144x256."""
+
+    out_channels: int
+    use_sigmoid: bool = False
+
+    @nn.compact
+    def __call__(self, z):
+        h = leaky_relu(nn.Dense(1024, name="fc1")(z))
+        h = nn.Dense(64 * 9 * 16, name="fc2")(h)
+        h = unflatten_nchw(h, 64, 9, 16)
+        for i, c in enumerate((64, 64, 32)):
+            h = leaky_relu(ConvTransposeTorch(
+                c, kernel_size=4, stride=2, padding=1, output_padding=0,
+                name=f"deconv{i}")(h))
+        h = ConvTransposeTorch(self.out_channels, kernel_size=4, stride=2,
+                               padding=1, output_padding=0,
+                               name="deconv3")(h)
+        return jax.nn.sigmoid(h) if self.use_sigmoid else h
+
+
+class OldVAE(nn.Module):
+    """Early multi-modal VAE ablations (old_vae.py:33-361, oldv2_vae.py:33-401).
+
+    Per-modality conv stems (rgb + optional extra channels treated as a
+    second modality, e.g. lidar/route raster) -> flatten+concat ->
+    fc 1024 -> mu/logvar(z_dims), reparameterized when `rng` is given ->
+    lightweight 4-stage deconv recon heads. `v2=True` reproduces the
+    oldv2_vae config-driven head set (seg recon + light-state classifier);
+    v1 emits plain rgb reconstruction only. Plugs into the same perception
+    trainer / losses contract as the rest of the zoo ("camera", "route",
+    "light_state", "mu", "logvar" keys).
+    """
+
+    params_cfg: DANetParams
+    v2: bool = False
+
+    def setup(self):
+        cfg = self.params_cfg
+        self.rgb_stem = OldStem(name="rgb_stem")
+        self.aux_channels = max(cfg.input_channel - 3, 0)
+        if self.aux_channels:
+            self.aux_stem = OldStem(name="aux_stem")
+        self.fc_mu_1 = nn.Dense(1024, name="fc_mu_1")
+        self.fc_mu_2 = nn.Dense(cfg.z_dims, name="fc_mu_2")
+        self.fc_var_1 = nn.Dense(1024, name="fc_var_1")
+        self.fc_var_2 = nn.Dense(cfg.z_dims, name="fc_var_2")
+        out_ch = cfg.camera_output_channel if self.v2 else 3
+        self.camera_head = OldDeconv(out_ch, use_sigmoid=not self.v2,
+                                     name="camera_head")
+        if self.v2 and cfg.pred_route:
+            self.route_head = OldDeconv(1, use_sigmoid=True,
+                                        name="route_head")
+        if self.v2 and cfg.pred_light_state:
+            self.light_fc_1 = nn.Dense(64, name="light_fc_1")
+            self.light_fc_2 = nn.Dense(cfg.light_classes_num,
+                                       name="light_fc_2")
+
+    def encode(self, x, train: bool = False):
+        del train  # no batch norm in the old stems
+        h = flatten_nchw(self.rgb_stem(x[..., :3]))
+        if self.aux_channels:
+            h = jnp.concatenate(
+                [h, flatten_nchw(self.aux_stem(x[..., 3:]))], axis=-1)
+        mu = self.fc_mu_2(leaky_relu(self.fc_mu_1(h)))
+        logvar = self.fc_var_2(leaky_relu(self.fc_var_1(h)))
+        return mu, logvar
+
+    def __call__(self, x, train: bool = False,
+                 rng: Optional[jax.Array] = None):
+        cfg = self.params_cfg
+        mu, logvar = self.encode(x, train=train)
+        if rng is not None:
+            z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng, mu.shape, mu.dtype)
+        else:
+            z = mu
+        out = {"camera": self.camera_head(z), "mu": mu, "logvar": logvar}
+        if self.v2 and cfg.pred_route:
+            out["route"] = self.route_head(z)
+        if self.v2 and cfg.pred_light_state:
+            out["light_state"] = self.light_fc_2(
+                leaky_relu(self.light_fc_1(z)))
+        return out
+
+    def latent(self, x, train: bool = False):
+        mu, _ = self.encode(x, train=train)
+        return mu
+
+
+class OldV2VAE(OldVAE):
+    """oldv2_vae.py: the config-driven multi-head variant."""
+
+    v2: bool = True

@@ -163,3 +163,29 @@ def test_snapshot_with_optimizer_state(tmp_path):
 
     assert os.path.exists(p + ".opt")
     agent.load_snapshot(p, include_opt=True)
+
+
+def test_scenario_sampling_and_no_repeat():
+    route = np.stack([np.arange(50.0), np.zeros(50)], axis=1)
+    anns = [
+        {"type": "Scenario1", "x": 10.0, "y": 0.0},
+        {"type": "Scenario3", "x": 10.5, "y": 0.0},   # same trigger spot
+        {"type": "Scenario1", "x": 30.0, "y": 0.0},   # repeated kind
+        {"type": "Scenario4", "x": 40.0, "y": 0.0},
+        {"type": "Scenario4", "x": 200.0, "y": 90.0},  # off route
+    ]
+    rng = np.random.RandomState(0)
+    mgr = ScenarioManager.from_annotations(anns, route, rng=rng)
+    assert len(mgr.triggers) == 4  # all on-route candidates kept by default
+
+    mgr = ScenarioManager.from_annotations(anns, route, rng=rng, sample=True)
+    kinds_at_10 = [t for t in mgr.triggers if t.pos[0] < 20]
+    assert len(kinds_at_10) == 1   # one candidate sampled per location
+    assert len(mgr.triggers) == 3
+
+    mgr = ScenarioManager.from_annotations(anns, route,
+                                           rng=np.random.RandomState(0),
+                                           no_repeat=True)
+    kinds = [t.kind for t in mgr.triggers]
+    assert len(kinds) == len(set(kinds))  # each kind at most once
+    assert len(mgr.triggers) == 3

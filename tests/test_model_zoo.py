@@ -100,3 +100,28 @@ def test_small_cnn():
     variables = model.init(jax.random.PRNGKey(0), x)
     z = model.apply(variables, x)
     assert z.shape == (2, 64)
+
+
+def test_old_vae_variants():
+    # old_vae's deconv geometry is fixed to 144x256 (9x16 base, x16), like
+    # the reference's hard-coded Reshape(-1, 64, 9, 16)
+    cfg = danet_params(z_dims=16)
+    x = jnp.zeros((1, 144, 256, 4))
+    from cadre_tpu.models.vae import OldVAE, OldV2VAE
+
+    m1 = OldVAE(params_cfg=cfg)
+    v1 = m1.init(jax.random.PRNGKey(0), x)
+    out = m1.apply(v1, x, rng=jax.random.PRNGKey(1))
+    assert out["camera"].shape == (1, 144, 256, 3)       # rgb recon
+    assert float(out["camera"].min()) >= 0.0             # sigmoid output
+    assert out["mu"].shape == (1, 16)
+    assert "light_state" not in out
+
+    m2 = OldV2VAE(params_cfg=cfg)
+    v2 = m2.init(jax.random.PRNGKey(0), x)
+    out = m2.apply(v2, x)
+    assert out["camera"].shape == (1, 144, 256, 8)       # seg logits
+    assert out["route"].shape == (1, 144, 256, 1)
+    assert out["light_state"].shape == (1, 4)
+    z = m2.apply(v2, x, method=OldV2VAE.latent)
+    assert z.shape == (1, 16)
