@@ -62,6 +62,8 @@ class CarlaNet(nn.Module):
     num_branches: int = 4
     out_dim: int = 3  # steer, throttle, brake
 
+    with_embeddings: bool = False
+
     @nn.compact
     def __call__(self, image, speed, command=None, train: bool = False):
         chans = [32, 32, 64, 64, 128, 128, 256, 256]
@@ -80,6 +82,8 @@ class CarlaNet(nn.Module):
         controls = Branches(self.num_branches, (256, 256, self.out_dim),
                             name="branches")(j, command, train=train)
         pred_speed = _FC((256, 256, 1), name="speed_branch")(x, train=train)
+        if self.with_embeddings:
+            return controls, pred_speed[..., 0], x, j
         return controls, pred_speed[..., 0]
 
 
@@ -104,6 +108,58 @@ class CilrsNet(nn.Module):
                             name="branches")(j, command, train=train)
         pred_speed = _FC((256, 256, 1), name="speed_branch")(x, train=train)
         return controls, pred_speed[..., 0]
+
+
+class UncertainNet(nn.Module):
+    """Aleatoric-uncertainty heads over CarlaNet embeddings
+    (cil_net.py:115-163): per-command log-variance control branches
+    (structure 2) or one shared head tiled over commands (structure 3),
+    plus a speed log-variance head on the image embedding."""
+
+    structure: int = 2
+    num_branches: int = 4
+    out_dim: int = 3
+
+    @nn.compact
+    def __call__(self, img_emb, emb, command=None, train: bool = False):
+        if self.structure not in (2, 3):
+            raise ValueError("structure must be 2 or 3")
+        if self.structure == 2:
+            log_var_control = Branches(
+                self.num_branches, (256, 256, self.out_dim),
+                name="uncert_control_branches")(emb, command, train=train)
+        else:
+            shared = _FC((256, 256, self.out_dim),
+                         name="uncert_control_shared")(emb, train=train)
+            if command is None:
+                log_var_control = jnp.tile(shared[:, None, :],
+                                           (1, self.num_branches, 1))
+            else:
+                log_var_control = shared
+        log_var_speed = _FC((256, 256, 1), name="uncert_speed_branch")(
+            img_emb, train=train)
+        return log_var_control, log_var_speed[..., 0]
+
+
+class CilFinalNet(nn.Module):
+    """CarlaNet + UncertainNet composition (cil_net.py:164-191): control and
+    speed predictions with matching log-variance estimates."""
+
+    structure: int = 2
+    num_branches: int = 4
+    out_dim: int = 3
+
+    @nn.compact
+    def __call__(self, image, speed, command=None, train: bool = False):
+        controls, pred_speed, img_emb, emb = CarlaNet(
+            num_branches=self.num_branches, out_dim=self.out_dim,
+            with_embeddings=True, name="carla_net")(
+                image, speed, command, train=train)
+        log_var_control, log_var_speed = UncertainNet(
+            structure=self.structure, num_branches=self.num_branches,
+            out_dim=self.out_dim, name="uncertain_net")(
+                img_emb, emb, command, train=train)
+        return controls, pred_speed, log_var_control, log_var_speed
 
 
 class SmallCNN(nn.Module):

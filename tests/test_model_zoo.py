@@ -125,3 +125,24 @@ def test_old_vae_variants():
     assert out["light_state"].shape == (1, 4)
     z = m2.apply(v2, x, method=OldV2VAE.latent)
     assert z.shape == (1, 16)
+
+
+def test_cil_final_net_uncertainty():
+    from cadre_tpu.models.cil import CilFinalNet
+
+    img = jnp.zeros((2, 88, 200, 3))
+    speed = jnp.zeros((2, 1))
+    cmd = jnp.asarray([0, 3])
+    for structure in (2, 3):
+        model = CilFinalNet(structure=structure)
+        variables = model.init(jax.random.PRNGKey(0), img, speed, cmd)
+        controls, pred_speed, lv_control, lv_speed = model.apply(
+            variables, img, speed, cmd)
+        assert controls.shape == (2, 3)
+        assert pred_speed.shape == (2,)
+        assert lv_control.shape == (2, 3)
+        assert lv_speed.shape == (2,)
+        # dense (no command) evaluation returns all branches
+        all_c, _, all_lv, _ = model.apply(variables, img, speed)
+        assert all_c.shape == (2, 4, 3)
+        assert all_lv.shape == (2, 4, 3)
