@@ -146,3 +146,26 @@ def test_cil_final_net_uncertainty():
         all_c, _, all_lv, _ = model.apply(variables, img, speed)
         assert all_c.shape == (2, 4, 3)
         assert all_lv.shape == (2, 4, 3)
+
+
+def test_registry_builds_every_zoo_model():
+    from cadre_tpu.models.registry import build_model
+
+    cfg = danet_params(image_height=32, image_width=32, feat_h=1, feat_w=1,
+                       da_feature_channel=32, inter_att_dims=16, z_dims=8,
+                       camera_output_channel=4)
+    assert build_model("danet", cfg) is None  # trainer default path
+    x = jnp.zeros((1, 32, 32, 4))
+    for name in ("vanilla_vae", "beta_vae", "unet", "att_unet",
+                 "nested_unet"):
+        model = build_model(name, cfg)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, x, train=True)
+        out = model.apply(variables, x,
+                          mutable=["batch_stats"],
+                          rngs={"dropout": jax.random.PRNGKey(2)},
+                          train=True)[0]
+        assert out["camera"].shape[0] == 1
+    with pytest.raises(ValueError):
+        build_model("nope", cfg)

@@ -106,3 +106,19 @@ def test_trainer_loss_decreases(dataset_dir, tmp_path):
     # export for the RL agent
     variables = trainer.export_variables()
     assert "params" in variables and "batch_stats" in variables
+
+
+def test_registry_model_trains(dataset_dir):
+    from cadre_tpu.models.registry import adapt_config, build_model
+
+    loader = PerceptionDataLoader(dataset_dir, batch_size=8, seed=3)
+    cfg = adapt_config("oldv2_vae", SMALL)
+    assert not cfg.pred_bc
+    tp = PerceptionTrainParams(batch_size=8, max_epochs=1, warmup_epochs=1)
+    trainer = PerceptionTrainer(cfg, tp, steps_per_epoch=len(loader),
+                                rng=jax.random.PRNGKey(0),
+                                model=build_model("oldv2_vae", cfg))
+    batch = next(iter(loader))
+    losses = trainer.train_step(batch, jax.random.PRNGKey(1))
+    for key in ("seg", "route", "light_state", "visual_kld"):
+        assert np.isfinite(float(losses[key])), key

@@ -25,6 +25,10 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--small", action="store_true")
     p.add_argument("--augment", action="store_true")
+    p.add_argument("--model", default="danet",
+                   help="zoo model name: danet | vanilla_vae | beta_vae | "
+                        "da_beta_vae | old_vae | oldv2_vae | unet | "
+                        "att_unet | r2_unet | r2att_unet | nested_unet")
     args = p.parse_args()
 
     from cadre_tpu.configs.danet_config import (
@@ -57,11 +61,15 @@ def main():
         da_feature_channel=64, inter_att_dims=48, z_dims=32)
     tp = PerceptionTrainParams(batch_size=args.batch_size,
                                max_epochs=args.epochs)
+    from cadre_tpu.models.registry import adapt_config, build_model
+
+    cfg = adapt_config(args.model, cfg)
     trainer = PerceptionTrainer(
         cfg, tp, steps_per_epoch=max(1, len(loader)),
         rng=jax.random.PRNGKey(args.seed),
         seg_class_weight=stats.seg_class_weight,
-        light_class_weight=stats.light_class_weight)
+        light_class_weight=stats.light_class_weight,
+        model=build_model(args.model, cfg))
     if args.resume:
         trainer.load(args.resume)
     trainer.solve(loader, epochs=args.epochs, work_dir=args.work_dir,
