@@ -152,6 +152,100 @@ class OppositeVehicleBehavior(ScenarioBehavior):
         return self._life > 0
 
 
+def _advance(ob, dt: float) -> None:
+    ob.pos = ob.pos + ob.speed * dt * np.array(
+        [math.cos(ob.heading), math.sin(ob.heading)])
+
+
+class IdleBehavior(ScenarioBehavior):
+    """Atomic Idle (atomic_behaviors.py): hold for N ticks, then finish."""
+
+    def __init__(self, duration: int = 10):
+        self._remaining = duration
+
+    def tick(self, env) -> bool:
+        self._remaining -= 1
+        return self._remaining > 0
+
+
+class KeepVelocityBehavior(ScenarioBehavior):
+    """Atomic KeepVelocity: drive an actor at a constant speed along its
+    heading for a distance (or until the env episode ends)."""
+
+    def __init__(self, ob, speed: float, distance: float = 50.0):
+        self._ob = ob
+        self._ob.speed = speed
+        self._travel = distance
+
+    def tick(self, env) -> bool:
+        _advance(self._ob, env.dt)
+        self._travel -= self._ob.speed * env.dt
+        return self._travel > 0
+
+
+class LaneChangeBehavior(ScenarioBehavior):
+    """Atomic LaneChange: lateral shift of `offset` meters while holding
+    forward speed (constant-rate blend over `duration` ticks)."""
+
+    def __init__(self, ob, offset: float = 3.5, duration: int = 20):
+        self._ob = ob
+        self._rate = offset / max(duration, 1)
+        self._remaining = duration
+        # lateral direction: left of the actor's heading
+        self._left = np.array([-math.sin(ob.heading), math.cos(ob.heading)])
+
+    def tick(self, env) -> bool:
+        _advance(self._ob, env.dt)
+        self._ob.pos = self._ob.pos + self._left * self._rate
+        self._remaining -= 1
+        return self._remaining > 0
+
+
+class AccelerateToCatchUpBehavior(ScenarioBehavior):
+    """Atomic AccelerateToCatchUp: ramp the actor's speed by `throttle_inc`
+    per tick until it is `trigger_gap` meters past the ego, then finish."""
+
+    def __init__(self, ob, max_speed: float = 12.0,
+                 throttle_inc: float = 0.5, trigger_gap: float = 8.0):
+        self._ob = ob
+        self._max = max_speed
+        self._inc = throttle_inc
+        self._gap = trigger_gap
+
+    def tick(self, env) -> bool:
+        self._ob.speed = min(self._max, self._ob.speed + self._inc)
+        _advance(self._ob, env.dt)
+        fwd = np.array([math.cos(math.radians(env._yaw)),
+                        math.sin(math.radians(env._yaw))])
+        ahead = float(np.dot(self._ob.pos - env._pos, fwd))
+        return ahead < self._gap
+
+
+class SyncArrivalBehavior(ScenarioBehavior):
+    """Atomic SyncArrival: continuously re-solve the actor's speed so it
+    reaches `target` at the same time the ego does (the junction-crossing
+    conflict generator)."""
+
+    def __init__(self, ob, target: np.ndarray, max_speed: float = 15.0):
+        self._ob = ob
+        self._target = np.asarray(target, float)
+        self._max = max_speed
+        d = self._target - ob.pos
+        self._ob.heading = math.atan2(d[1], d[0])
+
+    def tick(self, env) -> bool:
+        d_actor = float(np.hypot(*(self._target - self._ob.pos)))
+        if d_actor < 1.0:
+            return False
+        d_ego = float(np.hypot(*(self._target - env._pos)))
+        ego_speed = max(float(getattr(env, "_speed", 1.0)), 0.5)
+        eta_ego = d_ego / ego_speed
+        self._ob.speed = float(np.clip(d_actor / max(eta_ego, env.dt),
+                                       0.0, self._max))
+        _advance(self._ob, env.dt)
+        return True
+
+
 _BEHAVIOR_BUILDERS = {
     "control_loss": lambda env, rng: ControlLossBehavior(rng),
     "follow_leading_vehicle": lambda env, rng: LeadingVehicleBehavior(env),

@@ -189,3 +189,56 @@ def test_scenario_sampling_and_no_repeat():
     kinds = [t.kind for t in mgr.triggers]
     assert len(kinds) == len(set(kinds))  # each kind at most once
     assert len(mgr.triggers) == 3
+
+
+def test_atomic_behavior_primitives():
+    import math
+
+    from cadre_tpu.envs.scenarios import (
+        AccelerateToCatchUpBehavior,
+        IdleBehavior,
+        KeepVelocityBehavior,
+        LaneChangeBehavior,
+        SyncArrivalBehavior,
+    )
+    from cadre_tpu.envs.sim_env import SimObstacle
+
+    class _Env:
+        dt = 0.1
+        _pos = np.zeros(2)
+        _yaw = 0.0
+        _speed = 5.0
+
+    env = _Env()
+
+    idle = IdleBehavior(duration=3)
+    assert idle.tick(env) and idle.tick(env) and not idle.tick(env)
+
+    ob = SimObstacle(pos=np.zeros(2), heading=0.0)
+    kv = KeepVelocityBehavior(ob, speed=10.0, distance=2.0)
+    assert kv.tick(env)           # moved 1 m of the 2 m budget
+    assert not kv.tick(env)
+    np.testing.assert_allclose(ob.pos, [2.0, 0.0], atol=1e-9)
+
+    ob = SimObstacle(pos=np.zeros(2), heading=0.0, speed=10.0)
+    lc = LaneChangeBehavior(ob, offset=3.5, duration=5)
+    while lc.tick(env):
+        pass
+    np.testing.assert_allclose(ob.pos[1], 3.5, atol=1e-9)  # full shift left
+
+    ob = SimObstacle(pos=np.array([-5.0, 0.0]), heading=0.0, speed=0.0)
+    acc = AccelerateToCatchUpBehavior(ob, max_speed=20.0, throttle_inc=5.0,
+                                      trigger_gap=2.0)
+    ticks = 0
+    while acc.tick(env) and ticks < 100:
+        ticks += 1
+    assert ticks < 100 and ob.pos[0] >= 2.0   # overtook the ego
+
+    target = np.array([10.0, 10.0])
+    ob = SimObstacle(pos=np.array([10.0, -10.0]), speed=0.0)
+    sync = SyncArrivalBehavior(ob, target)
+    sync.tick(env)
+    # heading solved toward the target, speed matched to the ego's ETA
+    assert abs(ob.heading - math.pi / 2) < 1e-6
+    eta_ego = np.hypot(10, 10) / 5.0          # ~2.83 s
+    assert abs(ob.speed - 20.0 / eta_ego) < 1.0
