@@ -40,9 +40,15 @@ SCENARIO_BEHAVIORS = {
 
 @dataclasses.dataclass
 class ScenarioTrigger:
+    """Fires when the ego reaches `pos` (distance trigger) or at sim tick
+    `at_tick` (time trigger, OpenSCENARIO SimulationTimeCondition). `builder`
+    overrides the registry lookup with a custom behavior factory."""
+
     kind: str
-    pos: np.ndarray
+    pos: Optional[np.ndarray] = None
     fired: bool = False
+    at_tick: Optional[int] = None
+    builder: Optional[Any] = None
 
 
 class ScenarioBehavior:
@@ -319,10 +325,15 @@ class ScenarioManager:
         return cls(triggers, rng)
 
     def tick(self, env) -> None:
+        self._ticks = getattr(self, "_ticks", 0) + 1
         for trig in self.triggers:
-            if not trig.fired and float(
-                    np.hypot(*(trig.pos - env._pos))) < TRIGGER_RADIUS:
+            if trig.fired:
+                continue
+            hit = (trig.at_tick is not None and self._ticks >= trig.at_tick) \
+                or (trig.pos is not None and float(
+                    np.hypot(*(trig.pos - env._pos))) < TRIGGER_RADIUS)
+            if hit:
                 trig.fired = True
-                builder = _BEHAVIOR_BUILDERS[trig.kind]
+                builder = trig.builder or _BEHAVIOR_BUILDERS[trig.kind]
                 self.active.append(builder(env, self._rng))
         self.active = [b for b in self.active if b.tick(env)]
