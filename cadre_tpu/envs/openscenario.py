@@ -51,6 +51,7 @@ class OscEvent:
     value: float                   # target speed / lane offset (meters)
     at_time: Optional[float] = None      # SimulationTimeCondition (s)
     at_pos: Optional[np.ndarray] = None  # ReachPositionCondition
+    tolerance: Optional[float] = None    # ReachPositionCondition tolerance (m)
 
 
 @dataclasses.dataclass
@@ -104,12 +105,15 @@ def load_openscenario(path: str) -> OpenScenarioConfig:
         for event in group.iterfind(".//Event"):
             at_time: Optional[float] = None
             at_pos: Optional[np.ndarray] = None
+            tolerance: Optional[float] = None
             cond = event.find(".//StartTrigger//SimulationTimeCondition")
             if cond is not None:
                 at_time = float(cond.get("value", 0))
             reach = event.find(".//StartTrigger//ReachPositionCondition")
             if reach is not None:
                 at_pos, _ = _world_position(reach)
+                tol = reach.get("tolerance")
+                tolerance = float(tol) if tol is not None else None
             for action in event.iterfind("Action"):
                 speed = action.find(".//SpeedAction")
                 lane = action.find(".//LaneChangeAction")
@@ -117,12 +121,13 @@ def load_openscenario(path: str) -> OpenScenarioConfig:
                     v = _speed_target(speed)
                     if v is not None:
                         events.append(OscEvent(default_entity, "speed", v,
-                                               at_time, at_pos))
+                                               at_time, at_pos, tolerance))
                 elif lane is not None:
                     tgt = lane.find(".//RelativeTargetLane")
                     lanes = int(tgt.get("value", 1)) if tgt is not None else 1
                     events.append(OscEvent(default_entity, "lane_change",
-                                           3.5 * lanes, at_time, at_pos))
+                                           3.5 * lanes, at_time, at_pos,
+                                           tolerance))
     return OpenScenarioConfig(entities=entities, events=events)
 
 
@@ -135,17 +140,32 @@ def build_manager(cfg: OpenScenarioConfig, env,
 
     dt = dt if dt is not None else env.dt
     actors: Dict[str, Any] = {}
+    triggers: List[ScenarioTrigger] = []
     for name, ent in cfg.entities.items():
         if name == ego_name or ent.pos is None:
             continue
-        ob = SimObstacle(pos=ent.pos.astype(float).copy(),
-                         radius=0.4 if ent.kind == "walker" else 1.2,
-                         kind=ent.kind, speed=ent.speed,
-                         heading=ent.heading)
-        env._obstacles.append(ob)
+        spawn = getattr(env, "spawn_scenario_actor", None)
+        if spawn is not None:
+            ob = spawn(ent.kind, ent.pos, heading=ent.heading,
+                       speed=ent.speed)
+        else:
+            ob = SimObstacle(pos=ent.pos.astype(float).copy(),
+                             radius=0.4 if ent.kind == "walker" else 1.2,
+                             kind=ent.kind, speed=ent.speed,
+                             heading=ent.heading)
+            env._obstacles.append(ob)
         actors[name] = ob
-
-    triggers: List[ScenarioTrigger] = []
+        if ent.speed > 0:
+            # OpenSCENARIO Init SpeedAction applies at scenario start: the
+            # entity drives at its init speed until a storyboard event
+            # retargets it (the reference parser does the same).
+            def init_builder(ob=ob, v=ent.speed):
+                def build(env, rng):
+                    return KeepVelocityBehavior(ob, speed=v,
+                                                distance=math.inf)
+                return build
+            triggers.append(ScenarioTrigger(
+                kind="xosc:init_speed", at_tick=1, builder=init_builder()))
     for ev in cfg.events:
         ob = actors.get(ev.entity)
         if ob is None:
@@ -161,7 +181,11 @@ def build_manager(cfg: OpenScenarioConfig, env,
 
         at_tick = None if ev.at_time is None else max(
             1, int(round(ev.at_time / dt)))
+        from cadre_tpu.envs.scenarios import TRIGGER_RADIUS
+
         triggers.append(ScenarioTrigger(
             kind=f"xosc:{ev.action}", pos=ev.at_pos, at_tick=at_tick,
-            builder=make_builder()))
+            builder=make_builder(),
+            radius=ev.tolerance if ev.tolerance is not None
+            else TRIGGER_RADIUS))
     return ScenarioManager(triggers)

@@ -49,6 +49,7 @@ class ScenarioTrigger:
     fired: bool = False
     at_tick: Optional[int] = None
     builder: Optional[Any] = None
+    radius: float = TRIGGER_RADIUS   # per-trigger distance tolerance
 
 
 class ScenarioBehavior:
@@ -78,18 +79,16 @@ class LeadingVehicleBehavior(ScenarioBehavior):
     """Scenario2/5: slow vehicle ahead following the route."""
 
     def __init__(self, env, speed: float = 3.0, gap: float = 15.0):
-        from cadre_tpu.envs.sim_env import SimObstacle
-
         route = env._route_xy
         # place the leader `gap` meters ahead of the ego along the route
         d = np.hypot(route[:, 0] - env._pos[0], route[:, 1] - env._pos[1])
         i0 = int(np.argmin(d))
         idx = min(i0 + int(gap), len(route) - 1)
-        self._ob = SimObstacle(pos=route[idx].astype(float).copy(),
-                               radius=1.2, kind="vehicle", speed=speed)
+        self._ob = env.spawn_scenario_actor("vehicle", route[idx],
+                                            speed=speed)
+        self._ob.managed = True
         self._route = route
         self._i = idx
-        env._obstacles.append(self._ob)
 
     def tick(self, env) -> bool:
         # advance along the route at the behavior speed
@@ -112,18 +111,15 @@ class CrossingBehavior(ScenarioBehavior):
 
     def __init__(self, env, kind: str = "walker", ahead: float = 12.0,
                  lateral: float = 8.0, speed: float = 1.6):
-        from cadre_tpu.envs.sim_env import SimObstacle
-
         yaw = math.radians(env._yaw)
         fwd = np.array([math.cos(yaw), math.sin(yaw)])
         left = np.array([-fwd[1], fwd[0]])
         start = env._pos + fwd * ahead + left * lateral
         heading = math.atan2(-left[1], -left[0])
-        self._ob = SimObstacle(pos=start, radius=0.4 if kind == "walker"
-                               else 1.2, kind=kind, speed=speed,
-                               heading=heading)
+        self._ob = env.spawn_scenario_actor(kind, start, heading=heading,
+                                            speed=speed)
+        self._ob.managed = True
         self._travel = 2 * lateral
-        env._obstacles.append(self._ob)
 
     def tick(self, env) -> bool:
         step = self._ob.speed * env.dt
@@ -138,17 +134,15 @@ class OppositeVehicleBehavior(ScenarioBehavior):
 
     def __init__(self, env, ahead: float = 30.0, speed: float = 6.0,
                  lateral: float = 1.5):
-        from cadre_tpu.envs.sim_env import SimObstacle
-
         yaw = math.radians(env._yaw)
         fwd = np.array([math.cos(yaw), math.sin(yaw)])
         left = np.array([-fwd[1], fwd[0]])
         start = env._pos + fwd * ahead + left * lateral
-        self._ob = SimObstacle(pos=start, radius=1.2, kind="vehicle",
-                               speed=speed,
-                               heading=math.atan2(-fwd[1], -fwd[0]))
+        self._ob = env.spawn_scenario_actor(
+            "vehicle", start, heading=math.atan2(-fwd[1], -fwd[0]),
+            speed=speed)
+        self._ob.managed = True
         self._life = int(2 * ahead / max(speed * env.dt, 1e-6))
-        env._obstacles.append(self._ob)
 
     def tick(self, env) -> bool:
         step = self._ob.speed * env.dt
@@ -163,6 +157,25 @@ def _advance(ob, dt: float) -> None:
         [math.cos(ob.heading), math.sin(ob.heading)])
 
 
+class OwnedActorBehavior(ScenarioBehavior):
+    """Base for atomic behaviors that integrate a shared actor handle.
+
+    Last writer wins: taking ownership marks the actor managed and records
+    this behavior as its owner; a behavior that has lost ownership (another
+    behavior took the actor over, e.g. a storyboard SpeedAction retargeting
+    an init-speed entity) finishes on its next tick instead of
+    double-advancing the actor.
+    """
+
+    def _own(self, ob) -> None:
+        self._ob = ob
+        ob.managed = True
+        ob._owner = self
+
+    def _owned(self) -> bool:
+        return getattr(self._ob, "_owner", self) is self
+
+
 class IdleBehavior(ScenarioBehavior):
     """Atomic Idle (atomic_behaviors.py): hold for N ticks, then finish."""
 
@@ -174,51 +187,57 @@ class IdleBehavior(ScenarioBehavior):
         return self._remaining > 0
 
 
-class KeepVelocityBehavior(ScenarioBehavior):
+class KeepVelocityBehavior(OwnedActorBehavior):
     """Atomic KeepVelocity: drive an actor at a constant speed along its
     heading for a distance (or until the env episode ends)."""
 
     def __init__(self, ob, speed: float, distance: float = 50.0):
-        self._ob = ob
+        self._own(ob)
         self._ob.speed = speed
         self._travel = distance
 
     def tick(self, env) -> bool:
+        if not self._owned():
+            return False
         _advance(self._ob, env.dt)
         self._travel -= self._ob.speed * env.dt
         return self._travel > 0
 
 
-class LaneChangeBehavior(ScenarioBehavior):
+class LaneChangeBehavior(OwnedActorBehavior):
     """Atomic LaneChange: lateral shift of `offset` meters while holding
     forward speed (constant-rate blend over `duration` ticks)."""
 
     def __init__(self, ob, offset: float = 3.5, duration: int = 20):
-        self._ob = ob
+        self._own(ob)
         self._rate = offset / max(duration, 1)
         self._remaining = duration
         # lateral direction: left of the actor's heading
         self._left = np.array([-math.sin(ob.heading), math.cos(ob.heading)])
 
     def tick(self, env) -> bool:
+        if not self._owned():
+            return False
         _advance(self._ob, env.dt)
         self._ob.pos = self._ob.pos + self._left * self._rate
         self._remaining -= 1
         return self._remaining > 0
 
 
-class AccelerateToCatchUpBehavior(ScenarioBehavior):
+class AccelerateToCatchUpBehavior(OwnedActorBehavior):
     """Atomic AccelerateToCatchUp: ramp the actor's speed by `throttle_inc`
     per tick until it is `trigger_gap` meters past the ego, then finish."""
 
     def __init__(self, ob, max_speed: float = 12.0,
                  throttle_inc: float = 0.5, trigger_gap: float = 8.0):
-        self._ob = ob
+        self._own(ob)
         self._max = max_speed
         self._inc = throttle_inc
         self._gap = trigger_gap
 
     def tick(self, env) -> bool:
+        if not self._owned():
+            return False
         self._ob.speed = min(self._max, self._ob.speed + self._inc)
         _advance(self._ob, env.dt)
         fwd = np.array([math.cos(math.radians(env._yaw)),
@@ -227,19 +246,21 @@ class AccelerateToCatchUpBehavior(ScenarioBehavior):
         return ahead < self._gap
 
 
-class SyncArrivalBehavior(ScenarioBehavior):
+class SyncArrivalBehavior(OwnedActorBehavior):
     """Atomic SyncArrival: continuously re-solve the actor's speed so it
     reaches `target` at the same time the ego does (the junction-crossing
     conflict generator)."""
 
     def __init__(self, ob, target: np.ndarray, max_speed: float = 15.0):
-        self._ob = ob
+        self._own(ob)
         self._target = np.asarray(target, float)
         self._max = max_speed
         d = self._target - ob.pos
         self._ob.heading = math.atan2(d[1], d[0])
 
     def tick(self, env) -> bool:
+        if not self._owned():
+            return False
         d_actor = float(np.hypot(*(self._target - self._ob.pos)))
         if d_actor < 1.0:
             return False
@@ -331,7 +352,7 @@ class ScenarioManager:
                 continue
             hit = (trig.at_tick is not None and self._ticks >= trig.at_tick) \
                 or (trig.pos is not None and float(
-                    np.hypot(*(trig.pos - env._pos))) < TRIGGER_RADIUS)
+                    np.hypot(*(trig.pos - env._pos))) < trig.radius)
             if hit:
                 trig.fired = True
                 builder = trig.builder or _BEHAVIOR_BUILDERS[trig.kind]

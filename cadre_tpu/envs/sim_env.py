@@ -35,6 +35,10 @@ class SimObstacle:
     kind: str = "vehicle"  # 'vehicle' | 'walker' | 'static'
     speed: float = 0.0
     heading: float = 0.0
+    # True when a ScenarioBehavior integrates this actor's position itself;
+    # the env's walker-wander loop must then leave it alone (else the actor
+    # moves at 2x the commanded speed).
+    managed: bool = False
 
 
 # Weather presets for the renderer (the IL dataset is collected under 15+
@@ -191,6 +195,18 @@ class SimDrivingEnv(BaseDrivingEnv):
     def _planner_step(self, gps):
         return self._planner.run_step(gps)
 
+    def spawn_scenario_actor(self, kind: str, pos: np.ndarray,
+                             heading: float = 0.0, speed: float = 0.0,
+                             radius: Optional[float] = None) -> SimObstacle:
+        """Scenario-behavior actor factory (the _spawn indirection that lets
+        the same behavior library drive both the kinematic sim and CARLA)."""
+        if radius is None:
+            radius = 0.4 if kind == "walker" else 1.2
+        ob = SimObstacle(pos=np.asarray(pos, float).copy(), radius=radius,
+                         kind=kind, speed=speed, heading=heading)
+        self._obstacles.append(ob)
+        return ob
+
     def _world_step(self, control: Sequence[float]) -> None:
         steer, throttle, brake = float(control[0]), float(control[1]), \
             float(control[2])
@@ -210,9 +226,9 @@ class SimDrivingEnv(BaseDrivingEnv):
                             math.sin(math.radians(self._yaw))])
         self._pos = self._pos + heading * self._speed * self.dt
 
-        # walkers wander
+        # walkers wander (behavior-managed actors advance themselves)
         for ob in self._obstacles:
-            if ob.kind == "walker" and ob.speed > 0:
+            if ob.kind == "walker" and ob.speed > 0 and not ob.managed:
                 ob.pos = ob.pos + ob.speed * self.dt * np.array(
                     [math.cos(ob.heading), math.sin(ob.heading)])
 

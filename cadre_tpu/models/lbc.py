@@ -179,8 +179,11 @@ class Converter:
 
     def world_to_cam(self, world):
         z = world[..., 1] + self.hack
-        u = world[..., 0] * self.fx / z + self.w / 2
-        v = self.fy * self.cam_height / z + self.h / 2
+        # clamp to the image bounds (converter.py:70-71) — points near or
+        # behind the camera plane otherwise project to huge/negative coords
+        u = jnp.clip(world[..., 0] * self.fx / z + self.w / 2, 0, self.w - 1)
+        v = jnp.clip(self.fy * self.cam_height / z + self.h / 2,
+                     0, self.h - 1)
         return jnp.stack([u, v], axis=-1)
 
     def map_to_cam(self, pix):

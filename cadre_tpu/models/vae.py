@@ -197,7 +197,8 @@ class OldDeconv(nn.Module):
     @nn.compact
     def __call__(self, z):
         h = leaky_relu(nn.Dense(1024, name="fc1")(z))
-        h = nn.Dense(64 * 9 * 16, name="fc2")(h)
+        # old_vae.py reverse_feature: Linear->LeakyReLU->Linear->LeakyReLU
+        h = leaky_relu(nn.Dense(64 * 9 * 16, name="fc2")(h))
         h = unflatten_nchw(h, 64, 9, 16)
         for i, c in enumerate((64, 64, 32)):
             h = leaky_relu(ConvTransposeTorch(

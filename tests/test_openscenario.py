@@ -100,11 +100,22 @@ def test_build_manager_fires_events(tmp_path):
     for _ in range(4):                      # 0.4 s: time trigger not yet
         mgr.tick(env)
     assert adv.speed == 2.0
+    # Init SpeedAction applies at scenario start: the adversary has been
+    # driving at 2 m/s since tick 1 (0.4 s -> +0.8 m), exactly once per tick
+    np.testing.assert_allclose(float(adv.pos[0]), 20.0 + 2.0 * 4 * env.dt)
     mgr.tick(env)                           # 0.5 s: SpeedAction fires
     assert adv.speed == 8.0
+    x_before = float(adv.pos[0])
+    mgr.tick(env)                           # single-advance at the new speed
+    np.testing.assert_allclose(float(adv.pos[0]) - x_before, 8.0 * env.dt)
 
-    # the reach-position trigger (within TRIGGER_RADIUS of the ego's start)
-    # fires the lane change; run it to completion
+    # the reach-position trigger declares tolerance="2": the ego 5 m away
+    # must NOT fire it ...
+    for _ in range(5):
+        mgr.tick(env)
+    np.testing.assert_allclose(float(adv.pos[1]), 0.0, atol=1e-9)
+    # ... but within 2 m it does; run the lane change to completion
+    env._pos = np.array([4.5, 0.0])
     for _ in range(30):
         mgr.tick(env)
     np.testing.assert_allclose(float(adv.pos[1]), 3.5, atol=1e-6)
