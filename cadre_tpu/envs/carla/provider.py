@@ -132,6 +132,138 @@ class CarlaProvider:
             if walker is not None:
                 self.register(walker)
 
+    # ---------------- traffic lights / stop signs ----------------
+    # (carla_data_provider.py:292-414 + the trigger-volume discretization of
+    # RunningRedLightTest.get_traffic_light_waypoints)
+
+    @staticmethod
+    def _rotate_point(x: float, y: float, angle_deg: float):
+        import math
+
+        c = math.cos(math.radians(angle_deg))
+        s = math.sin(math.radians(angle_deg))
+        return c * x - s * y, s * x + c * y
+
+    def get_trafficlight_trigger_location(self, light):
+        """World location of the light's trigger volume center
+        (carla_data_provider.py:344-368)."""
+        carla = _carla()
+        base = light.get_transform()
+        area_loc = base.transform(light.trigger_volume.location)
+        return carla.Location(area_loc.x, area_loc.y, area_loc.z)
+
+    def set_all_light_times(self, green: float = 5.0, red: float = 0.5,
+                            yellow: float = 3.0) -> None:
+        """CADRE's forced short cycle on every light in the town
+        (atomic_criteria.py:1869-1871)."""
+        for actor in self._world.get_actors().filter("*traffic_light*"):
+            actor.set_green_time(green)
+            actor.set_red_time(red)
+            actor.set_yellow_time(yellow)
+
+    def _stop_line_waypoints(self, light):
+        """Discretize the trigger box into lane waypoints advanced to the
+        junction entry (atomic_criteria.py:2041-2075)."""
+        base = light.get_transform()
+        base_yaw = base.rotation.yaw
+        area_loc = base.transform(light.trigger_volume.location)
+        ext = light.trigger_volume.extent
+        carla = _carla()
+
+        xs = [x for x in self._frange(-0.9 * ext.x, 0.9 * ext.x, 1.0)]
+        ini_wps = []
+        for x in xs:
+            px, py = self._rotate_point(x, 0.0, base_yaw)
+            pt = carla.Location(x=area_loc.x + px, y=area_loc.y + py,
+                                z=area_loc.z)
+            wp = self._map.get_waypoint(pt)
+            if wp is None:
+                continue
+            if not ini_wps or ini_wps[-1].road_id != wp.road_id or \
+                    ini_wps[-1].lane_id != wp.lane_id:
+                ini_wps.append(wp)
+        wps = []
+        for wp in ini_wps:
+            guard = 0
+            while not wp.is_intersection and guard < 200:
+                nxt = wp.next(0.5)
+                if not nxt or nxt[0].is_intersection:
+                    break
+                wp = nxt[0]
+                guard += 1
+            wps.append(wp)
+        return area_loc, wps
+
+    @staticmethod
+    def _frange(a: float, b: float, step: float):
+        x = a
+        while x < b:
+            yield x
+            x += step
+
+    def get_light_infos(self, to_plane):
+        """Build simulator-agnostic TrafficLightInfo records for every
+        traffic light in the world. `to_plane` maps a carla.Location to the
+        criteria plane [2] (e.g. the GPS-meter transform)."""
+        import numpy as np
+
+        from cadre_tpu.envs.traffic_lights import StopLine, TrafficLightInfo
+
+        carla = _carla()
+        infos = []
+        for actor in self._world.get_actors().filter("*traffic_light*"):
+            center_loc, wps = self._stop_line_waypoints(actor)
+            stop_lines = []
+            for wp in wps:
+                loc = wp.transform.location
+                fv = wp.transform.get_forward_vector()
+                p0 = to_plane(loc)
+                p1 = to_plane(carla.Location(x=loc.x + fv.x, y=loc.y + fv.y,
+                                             z=loc.z))
+                d = np.asarray(p1, float) - np.asarray(p0, float)
+                n = float(np.hypot(*d))
+                if n < 1e-9:
+                    continue
+                stop_lines.append(StopLine(
+                    pos=np.asarray(p0, float), dir=d / n,
+                    lane_width=getattr(wp, "lane_width", 3.5)))
+            infos.append(TrafficLightInfo(
+                uid=actor.id, center=np.asarray(to_plane(center_loc), float),
+                stop_lines=stop_lines, actor=actor))
+        return infos
+
+    def get_stop_sign_infos(self, to_plane):
+        """StopSignInfo records for 'traffic.stop' actors
+        (RunningStopTest.__init__, atomic_criteria.py:2100-2105)."""
+        import numpy as np
+
+        from cadre_tpu.envs.traffic_lights import StopSignInfo
+
+        carla = _carla()
+        infos = []
+        for actor in self._world.get_actors().filter("*traffic.stop*"):
+            tf = actor.get_transform()
+            tv = actor.trigger_volume
+            center = tf.transform(tv.location)
+            # bbox yaw expressed in the criteria plane: transform the box's
+            # forward vector through to_plane rather than trusting raw world
+            # yaw (the GPS plane is rotated relative to world axes)
+            fv = tf.get_forward_vector()
+            p0 = np.asarray(to_plane(center), float)
+            p1 = np.asarray(to_plane(carla.Location(
+                x=center.x + fv.x, y=center.y + fv.y, z=center.z)), float)
+            d = p1 - p0
+            import math as _math
+
+            yaw_plane = _math.degrees(_math.atan2(d[1], d[0])) \
+                if float(np.hypot(*d)) > 1e-9 else 0.0
+            infos.append(StopSignInfo(
+                uid=actor.id, center=p0,
+                extent=np.array([max(tv.extent.x, 1.0),
+                                 max(tv.extent.y, 1.0)]),
+                yaw=yaw_plane))
+        return infos
+
     # ---------------- cleanup ----------------
 
     def cleanup(self) -> None:

@@ -105,9 +105,12 @@ class CallBack:
                            np.float64)
             self._interface.update_sensor(self._tag, arr, data.frame)
         elif t.startswith("sensor.other.imu"):
+            # rotation.yaw is already degrees (sensor_interface.py:194-198);
+            # compass is radians from north
             arr = np.array([
                 data.accelerometer.x, data.accelerometer.y,
-                data.accelerometer.z, math.degrees(data.transform.rotation.yaw)
+                data.accelerometer.z,
+                data.transform.rotation.yaw
                 if hasattr(data, "transform") else 0.0,
                 data.compass,
             ], np.float64)

@@ -26,10 +26,21 @@ from cadre_tpu.envs.carla.sensors import (
     SensorInterface,
     SpeedometerReader,
 )
+from cadre_tpu.envs.carla.actors import CarlaActorHandle, spawn_scenario_actor
 from cadre_tpu.envs.criteria import VehicleSnapshot, default_criteria
 from cadre_tpu.envs.indexer import PriorityRouteIndexer, RouteIndexer
 from cadre_tpu.envs.planner import GPS_MEAN, GPS_SCALE, RoutePlanner
 from cadre_tpu.envs.road_option import RoadOption
+from cadre_tpu.envs.traffic_lights import (
+    GREEN,
+    RED,
+    YELLOW,
+    nearest_light_ahead,
+)
+
+# carla.TrafficLightState name -> criteria state (Off/Unknown treated green,
+# matching the reference which only ever tests for Red)
+_LIGHT_STATES = {"Red": RED, "Yellow": YELLOW, "Green": GREEN}
 
 EGO_MODEL = "vehicle.lincoln.mkz2017"  # route_scenario.py:260
 
@@ -95,6 +106,28 @@ class CarlaDrivingEnv(BaseDrivingEnv):
                                          vehicle_num=list(vehicle_num))
         else:
             raise ValueError("CarlaDrivingEnv requires a routes_file")
+
+        # scenario-behavior world interface (envs/scenarios.py operates on
+        # these in world-meter space)
+        self._rng = np.random.RandomState(tm_seed)
+        self._pos = np.zeros(2)
+        self._yaw = 0.0
+        self._speed = 0.0
+        self._route_xy = np.zeros((2, 2))
+        self._obstacles: List[Any] = []
+        self._control_noise = 0.0
+        self._scenario_manager = None
+        self._light_infos: List[Any] = []
+        self._stop_infos: List[Any] = []
+        self._scenario_annotations = None
+        if scenario_file is not None:
+            try:
+                from cadre_tpu.envs.route_parser import parse_scenario_file
+
+                self._scenario_annotations = parse_scenario_file(
+                    scenario_file)
+            except (OSError, ValueError):
+                self._scenario_annotations = None
 
     # ---------------- route building ----------------
 
@@ -175,9 +208,53 @@ class CarlaDrivingEnv(BaseDrivingEnv):
         gps_xy = np.asarray(
             [(np.array([g["lat"], g["lon"]]) - GPS_MEAN) * GPS_SCALE
              for g, _ in gps_plan])
+
+        # scenario-behavior world state (world meters)
+        self._route_xy = route_xy
+        self._pos = route_xy[0].astype(np.float64).copy()
+        self._yaw = float(route[0][0].rotation.yaw)
+        self._speed = 0.0
+        self._obstacles = []
+        self._control_noise = 0.0
+
+        # traffic-light subsystem: force CADRE's short cycles, then build
+        # plane-space light/stop records for the geometric criteria
+        # (carla_data_provider.py:309-414, atomic_criteria.py:1836-2075)
+        def to_plane(loc):
+            geo = self.provider.map.transform_to_geolocation(loc)
+            return (np.array([geo.latitude, geo.longitude])
+                    - GPS_MEAN) * GPS_SCALE
+
+        self._to_plane = to_plane
+        try:
+            self.provider.set_all_light_times()
+            self._light_infos = self.provider.get_light_infos(to_plane)
+            self._stop_infos = self.provider.get_stop_sign_infos(to_plane)
+        except (RuntimeError, AttributeError):
+            self._light_infos, self._stop_infos = [], []
+
+        veh_extent = 2.45
+        try:
+            veh_extent = float(self.ego.bounding_box.extent.x)
+        except (RuntimeError, AttributeError):
+            pass
         blocked_s = 180.0 if self.training else 800 * self.dt
         self._criteria = default_criteria(gps_xy, dt=self.dt,
-                                          blocked_seconds=blocked_s)
+                                          blocked_seconds=blocked_s,
+                                          lights=self._light_infos,
+                                          stop_signs=self._stop_infos,
+                                          veh_extent=veh_extent)
+
+        # adversarial sub-scenarios at route trigger points
+        # (route_scenario.py:368-435): behaviors spawn/steer real actors
+        if self._scenario_annotations:
+            from cadre_tpu.envs.scenarios import ScenarioManager
+
+            self._scenario_manager = ScenarioManager.from_annotations(
+                self._scenario_annotations, route_xy, rng=self._rng,
+                sample=True)
+        else:
+            self._scenario_manager = None
 
         # background traffic
         self.provider.spawn_background_traffic(
@@ -274,10 +351,37 @@ class CarlaDrivingEnv(BaseDrivingEnv):
             self.game_time.on_tick(snapshot.timestamp)
         self.provider.on_tick()
 
+    def spawn_scenario_actor(self, kind: str, pos, heading: float = 0.0,
+                             speed: float = 0.0, radius=None):
+        """Behavior-library actor factory: spawn a real server actor and
+        return its kinematic handle; fall back to a ghost SimObstacle when
+        the spawn point is blocked so the behavior still completes."""
+        handle = spawn_scenario_actor(self.provider, self._carla, kind, pos,
+                                      heading=heading, speed=speed,
+                                      radius=radius)
+        if handle is None:
+            from cadre_tpu.envs.sim_env import SimObstacle
+
+            handle = SimObstacle(pos=np.asarray(pos, float).copy(),
+                                 radius=radius or
+                                 (0.4 if kind == "walker" else 1.2),
+                                 kind=kind, speed=speed, heading=heading)
+        self._obstacles.append(handle)
+        return handle
+
     def _world_step(self, control: Sequence[float]) -> None:
         carla = self._carla
+        # refresh the behavior-facing ego state, then tick sub-scenarios
+        tf0 = self.ego.get_transform()
+        self._pos = np.array([tf0.location.x, tf0.location.y])
+        self._yaw = float(tf0.rotation.yaw)
+        if self._scenario_manager is not None:
+            self._scenario_manager.tick(self)
+
         vc = carla.VehicleControl()
-        vc.steer = float(control[0])
+        # ControlLossBehavior injects steering noise (control_loss.py)
+        steer = float(control[0]) + self._control_noise
+        vc.steer = float(np.clip(steer, -1.0, 1.0))
         vc.throttle = float(control[1])
         vc.brake = float(control[2])
         vc.manual_gear_shift = False
@@ -291,16 +395,30 @@ class CarlaDrivingEnv(BaseDrivingEnv):
         self.world.tick(self._timeout)
         self._on_world_tick()
 
+        # refresh light states from the server actors
+        for info in self._light_infos:
+            if info.actor is not None:
+                try:
+                    name = str(info.actor.get_state()).rsplit(".", 1)[-1]
+                    info.state = _LIGHT_STATES.get(name, GREEN)
+                except RuntimeError:
+                    pass
+
         # criteria update in GPS meter space
         gps_pos = self._last_gps_meters if hasattr(self, "_last_gps_meters") \
             else np.zeros(2)
         v = self.ego.get_velocity()
         speed = (v.x ** 2 + v.y ** 2 + v.z ** 2) ** 0.5
+        self._speed = float(speed)
+        yaw_rad = math.radians(tf.rotation.yaw)
+        # GPS-plane heading: world (cos,sin) maps to (-sin, cos) in (lat,lon)
+        gps_fwd = np.array([-math.sin(yaw_rad), math.cos(yaw_rad)])
         snap = VehicleSnapshot(
             pos=gps_pos, yaw=tf.rotation.yaw, speed=speed,
             collided_static=self._collision_flags["static"],
             collided_vehicle=self._collision_flags["vehicle"],
-            collided_pedestrian=self._collision_flags["walker"])
+            collided_pedestrian=self._collision_flags["walker"],
+            forward=gps_fwd)
         for crit in self._criteria:
             crit.update(snap)
         self._collision_flags = {"static": False, "vehicle": False,
@@ -365,6 +483,8 @@ class CarlaDrivingEnv(BaseDrivingEnv):
         # GPS-space forward: world (cos,sin) maps to (-sin, cos) in (lat,lon)
         fwd = np.array([-math.sin(math.radians(yaw_deg)),
                         math.cos(math.radians(yaw_deg))])
+        light_state, light_dist = nearest_light_ahead(
+            self._light_infos, gps_meters, fwd)
         return {
             "rgb": rgb,
             "gps": gps_meters,
@@ -374,6 +494,8 @@ class CarlaDrivingEnv(BaseDrivingEnv):
             "forward": fwd,
             "imu": [float(imu[0]), float(imu[1]), float(imu[2]), yaw_deg],
             "obstacle": obstacle,
+            "light_state": light_state,
+            "light_dist": light_dist,
             "target_diff": 0,
             "topdown_seg": None,
         }

@@ -24,15 +24,17 @@ from cadre_tpu.envs.events import TrafficEvent, TrafficEventType
 
 @dataclasses.dataclass
 class VehicleSnapshot:
-    pos: np.ndarray                  # [2] meters
+    pos: np.ndarray                  # [2] meters (criteria plane)
     yaw: float                       # degrees
     speed: float                     # m/s
     collided_static: bool = False
     collided_vehicle: bool = False
     collided_pedestrian: bool = False
-    at_red_light: bool = False       # crossing a red light stop line
-    at_stop_sign: bool = False       # rolling through a stop
     off_lane: bool = False           # outside driving lanes
+    # unit heading in the same plane as `pos` (envs whose criteria plane is
+    # not world-yaw-aligned, e.g. the CARLA GPS plane, must set this; the
+    # geometric light/stop criteria fall back to cos/sin(yaw) otherwise)
+    forward: Optional[np.ndarray] = None
 
 
 class Criterion:
@@ -226,33 +228,20 @@ class RouteTimeoutCriterion(Criterion):
                 TrafficEventType.ROUTE_COMPLETION, "Route timeout"))
 
 
-class RunningRedLightCriterion(Criterion):
-    """Red-light infraction (atomic_criteria.py:1836+)."""
-
-    name = "RunningRedLightTest"
-
-    def update(self, snap: VehicleSnapshot) -> None:
-        if snap.at_red_light and snap.speed > 0.5:
-            self.list_traffic_events.append(TrafficEvent(
-                TrafficEventType.TRAFFIC_LIGHT_INFRACTION, "Ran red light"))
-
-
-class RunningStopCriterion(Criterion):
-    """Stop-sign infraction (atomic_criteria.py:2076+)."""
-
-    name = "RunningStopTest"
-
-    def update(self, snap: VehicleSnapshot) -> None:
-        if snap.at_stop_sign and snap.speed > 0.5:
-            self.list_traffic_events.append(TrafficEvent(
-                TrafficEventType.STOP_INFRACTION, "Ran stop sign"))
-
-
 def default_criteria(route_xy: np.ndarray, dt: float = 0.1,
                      blocked_seconds: float = 180.0,
-                     with_timeout: bool = True) -> List[Criterion]:
+                     with_timeout: bool = True,
+                     lights=None, stop_signs=None,
+                     veh_extent: float = 2.45) -> List[Criterion]:
     """The criterion set of RouteScenario._create_test_criteria (+ the
-    route-length-scaled episode timeout)."""
+    route-length-scaled episode timeout). `lights`/`stop_signs` are the
+    episode's TrafficLightInfo/StopSignInfo lists (envs/traffic_lights.py);
+    the geometric red-light and stop tests are instantiated over them."""
+    from cadre_tpu.envs.traffic_lights import (
+        RunningRedLightCriterion,
+        RunningStopCriterion,
+    )
+
     completion = RouteCompletionCriterion(route_xy)
     seg = np.diff(np.asarray(route_xy, np.float64), axis=0)
     length_m = float(np.hypot(seg[:, 0], seg[:, 1]).sum()) if len(seg) else 0.0
@@ -260,8 +249,8 @@ def default_criteria(route_xy: np.ndarray, dt: float = 0.1,
         completion,
         OutsideRouteLanesCriterion(),
         CollisionCriterion(),
-        RunningRedLightCriterion(),
-        RunningStopCriterion(),
+        RunningRedLightCriterion(lights or [], veh_extent=veh_extent),
+        RunningStopCriterion(stop_signs or []),
         InRouteCriterion(route_xy, completion),
         BlockedCriterion(max_time=blocked_seconds, dt=dt),
     ]

@@ -69,6 +69,14 @@ class OracleExpert:
         brake = 0.0
         if 0 < obstacle < self.cfg.brake_distance:
             return [steer, 0.0, 1.0]
+        # red/yellow light ahead: brake at the stop line (the reference
+        # expert's _should_brake light check, statics/vae_agent.py:639+) —
+        # this also makes the recorded light_state labels causally coupled
+        # to the recorded controls
+        light_state = int(tick.get("light_state", 0))
+        light_dist = float(tick.get("light_dist", -1.0))
+        if light_state in (2, 3) and 0 < light_dist < 12.0:
+            return [steer, 0.0, 1.0]
         if 0 < obstacle < self.cfg.slow_distance:
             target_speed = max(0.0, obstacle - 5.0)
         accel = self._speed_pid.step(target_speed - speed)

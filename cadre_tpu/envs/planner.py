@@ -20,6 +20,45 @@ GPS_MEAN = np.array([49.0, 49.0])
 GPS_SCALE = np.array([111324.60662786, 111324.60662786])
 
 
+def downsample_route(route, sample_factor: float = 50.0):
+    """Indices of a sparse subsample of (point, RoadOption) `route`: keep
+    lane changes, command transitions, every `sample_factor` meters, and the
+    endpoint (route_manipulation.py:86-129).
+
+    NOTE the reference's EnvWrapper.set_global_plan computes this but then
+    feeds the DENSE plan to RoutePlanner (`set_route(self._plan_gps_HACK,
+    True)`, env_wrapper.py:346-354) — the downsampled list is stored and
+    never consumed by the planner. We preserve that behavior: envs plan over
+    the dense route; this utility exists for interface parity and for
+    consumers that want the sparse plan.
+    """
+    from cadre_tpu.envs.road_option import RoadOption
+
+    ids = []
+    prev_option = None
+    dist = 0.0
+    for i, (point, option) in enumerate(route):
+        if option in (RoadOption.CHANGELANELEFT, RoadOption.CHANGELANERIGHT):
+            ids.append(i)
+            dist = 0.0
+        elif prev_option != option and prev_option not in (
+                RoadOption.CHANGELANELEFT, RoadOption.CHANGELANERIGHT):
+            ids.append(i)
+            dist = 0.0
+        elif dist > sample_factor:
+            ids.append(i)
+            dist = 0.0
+        elif i == len(route) - 1:
+            ids.append(i)
+            dist = 0.0
+        else:
+            cur = np.asarray(point, np.float64)
+            prev = np.asarray(route[i - 1][0], np.float64)
+            dist += float(np.hypot(*(cur[:2] - prev[:2])))
+        prev_option = option
+    return ids
+
+
 class RoutePlanner:
     def __init__(self, min_distance: float, max_distance: float):
         self.route: deque = deque()

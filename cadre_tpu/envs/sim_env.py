@@ -26,6 +26,14 @@ from cadre_tpu.envs.planner import RoutePlanner
 from cadre_tpu.envs.road_option import RoadOption
 from cadre_tpu.envs.route_fig import SIZE_X, SIZE_Y
 from cadre_tpu.envs.route_parser import RouteConfig, interpolate_route
+from cadre_tpu.envs.traffic_lights import (
+    GREEN,
+    RED,
+    TrafficLightInfo,
+    YELLOW,
+    lights_at_route_corners,
+    nearest_light_ahead,
+)
 
 
 @dataclasses.dataclass
@@ -90,6 +98,7 @@ class SimDrivingEnv(BaseDrivingEnv):
                  render_camera: bool = True,
                  weather: Optional[str] = "ClearNoon",
                  randomize_weather: bool = False,
+                 with_traffic_lights: bool = True,
                  **kwargs):
         super().__init__(training=training, **kwargs)
         self._rng = np.random.RandomState(seed)
@@ -114,6 +123,8 @@ class SimDrivingEnv(BaseDrivingEnv):
         self._max_wheel = math.radians(35.0)
         self._obstacles: List[SimObstacle] = []
         self._route_xy = np.zeros((2, 2))
+        self._with_traffic_lights = with_traffic_lights
+        self._lights: List[TrafficLightInfo] = []
         self._collision = {"static": False, "vehicle": False, "walker": False}
         self._current_config: Optional[RouteConfig] = None
         self._control_noise = 0.0
@@ -174,9 +185,18 @@ class SimDrivingEnv(BaseDrivingEnv):
                 speed=self._rng.uniform(0.3, 1.2),
                 heading=self._rng.uniform(0, 2 * math.pi)))
 
+        # signalized junctions at route corners (so the red-light criteria,
+        # APPROACH_LIGHT events, and the perception light head all run for
+        # real in the CARLA-free world)
+        if self._with_traffic_lights:
+            self._lights = lights_at_route_corners(pts, dense, self._rng)
+        else:
+            self._lights = []
+
         blocked_s = 180.0 if self.training else 800 * self.dt
         self._criteria = default_criteria(dense, dt=self.dt,
-                                          blocked_seconds=blocked_s)
+                                          blocked_seconds=blocked_s,
+                                          lights=self._lights)
         planner = RoutePlanner(min_distance=4.0, max_distance=50.0)
         cmds = [RoadOption.LANEFOLLOW] * len(dense)
         planner.set_route_meters(dense, cmds)
@@ -240,11 +260,17 @@ class SimDrivingEnv(BaseDrivingEnv):
                     "vehicle" if ob.kind == "vehicle" else "static")
                 self._collision[key] = True
 
+        # advance the light cycles on sim time
+        t = self._step_count * self.dt
+        for light in self._lights:
+            light.state = light.state_at(t)
+
         snap = VehicleSnapshot(
             pos=self._pos.copy(), yaw=self._yaw, speed=self._speed,
             collided_static=self._collision["static"],
             collided_vehicle=self._collision["vehicle"],
-            collided_pedestrian=self._collision["walker"])
+            collided_pedestrian=self._collision["walker"],
+            forward=heading)
         for crit in self._criteria:
             crit.update(snap)
 
@@ -320,6 +346,31 @@ class SimDrivingEnv(BaseDrivingEnv):
                 seg[max(0, v - 2 * r):min(h, v),
                     max(0, u - r):min(w, u + r)] = \
                     2 if ob.kind != "walker" else 3
+        # traffic-light heads: colored box on a pole ~5 m above the stop
+        # line, so the light state is discoverable through the camera
+        light_colors = {RED: (255, 30, 30), YELLOW: (255, 220, 40),
+                        GREEN: (40, 255, 60)}
+        for light in self._lights:
+            rel = light.center - self._pos
+            xf = rel[0] * cos_y + rel[1] * sin_y
+            yl = -rel[0] * sin_y + rel[1] * cos_y
+            if xf < 1.5 or xf > 60.0:
+                continue
+            u = int(w / 2 - f * yl / xf)
+            v = int(horizon - f * (5.0 - cam_h) / xf)
+            if not (0 <= u < w):
+                continue
+            r = max(2, int(f * 0.6 / xf))
+            color = light_colors[light.state]
+            v0, v1 = max(0, v - r), min(h, v + r)
+            u0, u1 = max(0, u - r), min(w, u + r)
+            if v1 > v0 and u1 > u0:
+                img[v0:v1, u0:u1] = color
+                # pole down to the road surface
+                vg = int(horizon + f * cam_h / xf)
+                img[max(0, v1):min(h, vg), max(0, u - 1):min(w, u + 1)] = \
+                    (60, 60, 60)
+
         # weather pass: global brightness below the horizon + sensor noise
         if brightness != 1.0:
             ground = img[h // 2:].astype(np.int16)
@@ -335,15 +386,20 @@ class SimDrivingEnv(BaseDrivingEnv):
         # "up" on the 256-tall canvas (matching the reference's ego-centric
         # route figure orientation)
         yaw_rad = math.radians(self._yaw)
+        fwd = np.array([math.cos(yaw_rad), math.sin(yaw_rad)])
+        light_state, light_dist = nearest_light_ahead(
+            self._lights, self._pos, fwd)
         return {
             "rgb": self._render_rgb(),
             "gps": self._pos.copy(),
             "full_gps": np.array([self._pos[0], self._pos[1], 0.0]),
             "speed": self._speed,
             "compass": yaw_rad,
-            "forward": np.array([math.cos(yaw_rad), math.sin(yaw_rad)]),
+            "forward": fwd,
             "imu": [0.0, 0.0, 0.0, self._yaw],
             "obstacle": self._nearest_obstacle_ahead(),
+            "light_state": light_state,
+            "light_dist": light_dist,
             "target_diff": 0,
             "topdown_seg": None,
         }

@@ -48,8 +48,8 @@ def collect_dataset(env, expert, n_frames: int, out_dir: str,
         buf["steer"].append(control[0])
         buf["throttle"].append(control[1])
         buf["command"].append(tick.get("command", 3))
-        buf["light_state"].append(0)
-        buf["light_dist"].append(-1.0)
+        buf["light_state"].append(tick.get("light_state", 0))
+        buf["light_dist"].append(tick.get("light_dist", -1.0))
         frames += 1
 
         tick, _, done, _ = env.step(control)

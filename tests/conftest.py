@@ -27,6 +27,35 @@ jax.config.update("jax_compilation_cache_dir",
 
 import pytest  # noqa: E402
 
+# Compile-heavy tests (>~10 s on a single core, measured via --durations).
+# `pytest -m "not slow"` runs the <3 min core; CI and pre-commit should run
+# the core on every change and the full suite before shipping.
+SLOW_TESTS = {
+    "test_perception.py::test_trainer_loss_decreases",
+    "test_perception.py::test_registry_model_trains",
+    "test_cil_and_distributed_perception.py::test_distributed_perception_step",
+    "test_cil_and_distributed_perception.py::test_cil_trainer_step_decreases_loss",
+    "test_parallel.py::test_distributed_update_runs_and_matches_manual_sum",
+    "test_model_zoo.py::test_registry_builds_every_zoo_model",
+    "test_model_zoo.py::test_old_vae_variants",
+    "test_model_zoo.py::test_carla_net_branching",
+    "test_rl_math.py::test_transformer_memory_bank",
+    "test_rl_math.py::test_ordinal_policy_bank_acts_and_updates",
+    "test_fused_update.py::test_train_vec_fused_path",
+    "test_fused_update.py::test_fused_update_runs_and_improves",
+    "test_vec_train.py::test_train_vec_fake_envs",
+    "test_lbc.py::test_map_and_image_models",
+    "test_runtime.py::test_proc_vec_env_fake",
+    "test_train_loop.py::test_train_two_episodes_fake_env",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        short = "::".join(item.nodeid.split("/")[-1].split("::")[:2])
+        if short in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def devices():
