@@ -23,7 +23,10 @@ import numpy as np
 TRIGGER_RADIUS = 12.0
 
 # scenario-type -> behavior key (NUMBER_CLASS_TRANSLATION,
-# route_scenario.py:55-66)
+# route_scenario.py:55-66). Scenario7/8/9 share the SignalJunctionCrossing
+# class in the reference but differ by subtype: the conflicting direction
+# whose light is forced green (TrafficLightManipulator
+# SUBTYPE_CONFIG_TRANSLATION, atomic_behaviors.py:2084-2090).
 SCENARIO_BEHAVIORS = {
     "Scenario1": "control_loss",
     "Scenario2": "follow_leading_vehicle",
@@ -31,9 +34,9 @@ SCENARIO_BEHAVIORS = {
     "Scenario4": "vehicle_turning_route",
     "Scenario5": "other_leading_vehicle",
     "Scenario6": "maneuver_opposite_direction",
-    "Scenario7": "signal_junction_crossing",
-    "Scenario8": "signal_junction_crossing",
-    "Scenario9": "signal_junction_crossing",
+    "Scenario7": "signal_junction_left",
+    "Scenario8": "signal_junction_opposite",
+    "Scenario9": "signal_junction_right",
     "Scenario10": "no_signal_junction_crossing",
 }
 
@@ -273,20 +276,318 @@ class SyncArrivalBehavior(OwnedActorBehavior):
         return True
 
 
+class WaypointFollowerBehavior(OwnedActorBehavior):
+    """Atomic WaypointFollower (atomic_behaviors.py): drive an actor along a
+    polyline at a target speed; finishes at the last waypoint."""
+
+    def __init__(self, ob, waypoints: np.ndarray, speed: float = 5.0):
+        self._own(ob)
+        self._ob.speed = speed
+        self._wps = np.asarray(waypoints, float)
+        self._i = 0
+
+    def tick(self, env) -> bool:
+        if not self._owned():
+            return False
+        if self._i >= len(self._wps):
+            return False
+        step = self._ob.speed * env.dt
+        while self._i < len(self._wps):
+            d = self._wps[self._i] - self._ob.pos
+            dist = float(np.hypot(*d))
+            if dist > max(step, 1e-6):
+                self._ob.heading = math.atan2(d[1], d[0])
+                self._ob.pos = self._ob.pos + d / dist * step
+                return True
+            self._i += 1
+        return False
+
+
+class ChangeAutoPilotBehavior(ScenarioBehavior):
+    """Atomic ChangeAutoPilot: hand an actor to the traffic manager with a
+    target speed (atomic_behaviors.py ChangeAutoPilot + TM params). For
+    CARLA-backed handles this enables server autopilot; for sim obstacles it
+    releases the actor to the env integrator at the given speed."""
+
+    def __init__(self, ob, speed: float = 5.0, enable: bool = True):
+        self._ob = ob
+        actor = getattr(ob, "actor", None)
+        if actor is not None:
+            try:
+                actor.set_autopilot(enable)
+            except RuntimeError:
+                pass
+        ob.speed = speed
+        ob.managed = not enable   # autopilot actors integrate themselves
+
+    def tick(self, env) -> bool:
+        return False              # one-shot
+
+
+class VehicleTurningBehavior(OwnedActorBehavior):
+    """Scenario4 VehicleTurningRoute (object_crash_intersection.py): a
+    vehicle/cyclist waiting at the junction corner turns into the ego's lane
+    and crosses it — a pursuit arc onto a point on the route ahead, then
+    away across the far side."""
+
+    def __init__(self, env, ahead: float = 14.0, lateral: float = 7.0,
+                 speed: float = 4.0):
+        yaw = math.radians(env._yaw)
+        fwd = np.array([math.cos(yaw), math.sin(yaw)])
+        left = np.array([-fwd[1], fwd[0]])
+        start = env._pos + fwd * ahead + left * lateral
+        ob = env.spawn_scenario_actor(
+            "vehicle", start, heading=math.atan2(-left[1], -left[0]),
+            speed=speed)
+        self._own(ob)
+        # two-leg arc: onto the ego lane ahead of the trigger, then across
+        self._targets = [env._pos + fwd * (ahead + 4.0),
+                         env._pos + fwd * (ahead + 4.0) - left * lateral]
+        self._leg = 0
+
+    def tick(self, env) -> bool:
+        if not self._owned():
+            return False
+        while self._leg < len(self._targets):
+            d = self._targets[self._leg] - self._ob.pos
+            dist = float(np.hypot(*d))
+            step = self._ob.speed * env.dt
+            if dist > max(step, 1e-6):
+                self._ob.heading = math.atan2(d[1], d[0])
+                _advance(self._ob, env.dt)
+                return True
+            self._leg += 1
+        return False
+
+
+class SignalJunctionBehavior(ScenarioBehavior):
+    """Scenario7/8/9 semantics: the TrafficLightManipulator two-phase light
+    hack (atomic_behaviors.py:2046-2096) + a conflicting vehicle.
+
+    Phase 1 forces the ego's junction light red and the conflicting
+    direction's green; a vehicle from that direction crosses the junction
+    (sync-arrival on the junction center, standing in for the reference's
+    background traffic "running" the hacked green). After RED_TIME the ego
+    group also goes green (INT_CONF_*2); after RESET_TIME the junction is
+    restored.
+    """
+
+    RED_TIME = 1.5       # seconds the ego waits at red
+    RESET_TIME = 6.0     # seconds before the junction is restored
+
+    def __init__(self, env, direction: str = "left",
+                 approach: float = 22.0, speed: float = 7.0):
+        from cadre_tpu.envs.traffic_lights import (
+            GREEN,
+            RED,
+            annotate_light_group,
+            reset_lights,
+            update_light_states,
+        )
+
+        self._reset_lights = reset_lights
+        self._update = update_light_states
+        self._GREEN, self._RED = GREEN, RED
+        self._direction = direction
+        yaw = math.radians(env._yaw)
+        fwd = np.array([math.cos(yaw), math.sin(yaw)])
+        left = np.array([-fwd[1], fwd[0]])
+
+        lights = list(getattr(env, "_lights", None)
+                      or getattr(env, "_light_infos", []) or [])
+        self._ego_light = None
+        self._ann = None
+        self._params = []
+        if lights:
+            ahead = [(float(np.hypot(*(tl.center - env._pos))), tl)
+                     for tl in lights
+                     if float((tl.center - env._pos) @ fwd) > 0]
+            ahead = [x for x in ahead if x[0] < 60.0]
+            if ahead:
+                self._ego_light = min(ahead)[1]
+                group = [tl for tl in lights if float(np.hypot(
+                    *(tl.center - self._ego_light.center))) < 40.0]
+                self._ann = annotate_light_group(self._ego_light, group)
+                # INT_CONF phase 1: ego red, conflicting direction green
+                self._params = update_light_states(
+                    self._ego_light, self._ann,
+                    {"ego": RED, direction: GREEN}, freeze=True)
+
+        # junction center: past the ego light's stop line, else ahead
+        if self._ego_light is not None and self._ego_light.stop_lines:
+            sl = self._ego_light.stop_lines[0]
+            junction = sl.pos + sl.dir * 10.0
+        else:
+            junction = env._pos + fwd * approach
+        side = {"left": left, "right": -left, "opposite": fwd}[direction]
+        start = junction + side * 25.0
+        ob = env.spawn_scenario_actor(
+            "vehicle", start, heading=math.atan2(*(-side)[::-1]),
+            speed=speed)
+        self._inner = SyncArrivalBehavior(ob, target=junction,
+                                          max_speed=max(speed * 2, 10.0))
+        self._t = 0
+
+    def tick(self, env) -> bool:
+        self._t += 1
+        if self._inner is not None and not self._inner.tick(env):
+            self._inner = None
+        if self._ego_light is not None:
+            if self._t == int(self.RED_TIME / env.dt):
+                # INT_CONF phase 2: ego group green as well
+                self._update(self._ego_light, self._ann,
+                             {"ego": self._GREEN,
+                              self._direction: self._GREEN}, freeze=True)
+            if self._t >= int(self.RESET_TIME / env.dt):
+                self._reset_lights(self._params)
+                self._ego_light = None
+        return self._inner is not None or self._ego_light is not None
+
+
+class NoSignalJunctionBehavior(ScenarioBehavior):
+    """Scenario10 NoSignalJunctionCrossingRoute: an unsignalized conflict —
+    a vehicle sync-arrives at the junction center exactly when the ego does
+    (no_signal_junction_crossing.py uses SyncArrival the same way)."""
+
+    def __init__(self, env, approach: float = 20.0, speed: float = 7.0):
+        yaw = math.radians(env._yaw)
+        fwd = np.array([math.cos(yaw), math.sin(yaw)])
+        left = np.array([-fwd[1], fwd[0]])
+        junction = env._pos + fwd * approach
+        start = junction + left * 22.0
+        ob = env.spawn_scenario_actor(
+            "vehicle", start, heading=math.atan2(*(-left)[::-1]),
+            speed=speed)
+        self._inner = SyncArrivalBehavior(ob, target=junction,
+                                          max_speed=max(speed * 2, 12.0))
+
+    def tick(self, env) -> bool:
+        return self._inner.tick(env)
+
+
+# ---------------- trigger conditions + composition ----------------
+# (srunner/scenariomanager/scenarioatomics/atomic_trigger_conditions.py)
+
+
+class Condition:
+    """Trigger condition: `__call__(env) -> bool` (True = satisfied)."""
+
+    def __call__(self, env) -> bool:  # pragma: no cover
+        raise NotImplementedError
+
+
+class InTriggerDistanceToVehicle(Condition):
+    """True when two actors are within `distance` of each other
+    (atomic_trigger_conditions.py InTriggerDistanceToVehicle)."""
+
+    def __init__(self, ob, other, distance: float):
+        self._a, self._b, self._d = ob, other, distance
+
+    def __call__(self, env) -> bool:
+        pa = env._pos if self._a == "ego" else self._a.pos
+        pb = env._pos if self._b == "ego" else self._b.pos
+        return float(np.hypot(*(pa - pb))) < self._d
+
+
+class InTriggerDistanceToLocation(Condition):
+    def __init__(self, ob, target, distance: float):
+        self._ob, self._t, self._d = ob, np.asarray(target, float), distance
+
+    def __call__(self, env) -> bool:
+        p = env._pos if self._ob == "ego" else self._ob.pos
+        return float(np.hypot(*(p - self._t))) < self._d
+
+
+class DriveDistance(Condition):
+    """True once the actor has driven `distance` meters since arming
+    (atomic_trigger_conditions.py DriveDistance)."""
+
+    def __init__(self, ob, distance: float):
+        self._ob, self._d = ob, distance
+        self._last = None
+        self._driven = 0.0
+
+    def __call__(self, env) -> bool:
+        p = np.array(env._pos if self._ob == "ego" else self._ob.pos, float)
+        if self._last is not None:
+            self._driven += float(np.hypot(*(p - self._last)))
+        self._last = p
+        return self._driven >= self._d
+
+
+class StandStill(Condition):
+    """True once the actor has been still for `duration` seconds."""
+
+    def __init__(self, ob, duration: float, speed_threshold: float = 0.1):
+        self._ob, self._dur, self._thr = ob, duration, speed_threshold
+        self._ticks = 0
+
+    def __call__(self, env) -> bool:
+        speed = env._speed if self._ob == "ego" else self._ob.speed
+        self._ticks = self._ticks + 1 if speed < self._thr else 0
+        return self._ticks * env.dt >= self._dur
+
+
+class WaitEndIntersection(Condition):
+    """True after the ego has entered and then left the junction region
+    (atomic_trigger_conditions.py WaitEndIntersection). Junction = within
+    `radius` of `junction_pos`."""
+
+    def __init__(self, junction_pos, radius: float = 12.0):
+        self._j = np.asarray(junction_pos, float)
+        self._r = radius
+        self._entered = False
+
+    def __call__(self, env) -> bool:
+        inside = float(np.hypot(*(env._pos - self._j))) < self._r
+        if inside:
+            self._entered = True
+        return self._entered and not inside
+
+
+class ConditionBehavior(ScenarioBehavior):
+    """Adapter: a condition as a behavior that runs until satisfied (the
+    py_trees pattern of putting trigger conditions inside sequences)."""
+
+    def __init__(self, condition: Condition):
+        self._cond = condition
+
+    def tick(self, env) -> bool:
+        return not self._cond(env)
+
+
+class SequenceBehavior(ScenarioBehavior):
+    """py_trees Sequence equivalent: run children in order, one at a time;
+    finished when the last child finishes."""
+
+    def __init__(self, children: Sequence[ScenarioBehavior]):
+        self._children = list(children)
+
+    def tick(self, env) -> bool:
+        while self._children:
+            if self._children[0].tick(env):
+                return True
+            self._children.pop(0)
+        return False
+
+
 _BEHAVIOR_BUILDERS = {
     "control_loss": lambda env, rng: ControlLossBehavior(rng),
     "follow_leading_vehicle": lambda env, rng: LeadingVehicleBehavior(env),
     "other_leading_vehicle": lambda env, rng: LeadingVehicleBehavior(
         env, speed=5.0, gap=25.0),
     "dynamic_object_crossing": lambda env, rng: CrossingBehavior(env),
-    "vehicle_turning_route": lambda env, rng: CrossingBehavior(
-        env, kind="vehicle", speed=3.0),
+    "vehicle_turning_route": lambda env, rng: VehicleTurningBehavior(env),
     "maneuver_opposite_direction": lambda env, rng: OppositeVehicleBehavior(
         env),
-    "signal_junction_crossing": lambda env, rng: OppositeVehicleBehavior(
-        env, ahead=25.0),
-    "no_signal_junction_crossing": lambda env, rng: OppositeVehicleBehavior(
-        env, ahead=20.0, speed=7.0),
+    "signal_junction_left": lambda env, rng: SignalJunctionBehavior(
+        env, "left"),
+    "signal_junction_opposite": lambda env, rng: SignalJunctionBehavior(
+        env, "opposite"),
+    "signal_junction_right": lambda env, rng: SignalJunctionBehavior(
+        env, "right"),
+    "no_signal_junction_crossing": lambda env, rng: NoSignalJunctionBehavior(
+        env),
 }
 
 
