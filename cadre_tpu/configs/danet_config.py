@@ -37,6 +37,14 @@ class DANetParams:
     pred_bc: bool = True
     in_bc_speed: bool = True
     in_route: bool = True
+    # remaining input-mode flags (auto_basic_config.change_input_mode)
+    in_backbone: int = 1            # number of stacked camera frames
+    in_lidar: bool = False
+    in_left_camera: bool = False
+    in_right_camera: bool = False
+    in_speed: bool = False          # speed as an extra input channel
+    input_mode: int = 9
+    output_mode: int = 12
     # image geometry (config_files/agent_config.py:96: 256x144 fov90 camera)
     image_height: int = 144
     image_width: int = 256
@@ -71,3 +79,95 @@ class PerceptionTrainParams:
 
 def danet_params(**overrides) -> DANetParams:
     return dataclasses.replace(DANetParams(), **overrides)
+
+
+# ---------------------------------------------------------------------------
+# Input/output mode tables — the reference's experiment-ablation grid
+# (Config/auto_basic_config.py:81-140 change_input_mode and :142-213
+# change_output_mode), expressed as DANetParams field updates.
+
+INPUT_MODES = {
+    1: dict(in_backbone=1, in_lidar=False, in_route=False),
+    2: dict(in_backbone=4, in_lidar=False, in_route=False),
+    3: dict(in_backbone=1, in_lidar=True, in_route=False),
+    4: dict(in_backbone=4, in_lidar=True, in_route=False),
+    5: dict(in_backbone=1, in_lidar=False, in_route=True),
+    6: dict(in_backbone=1, in_lidar=False, in_route=True,
+            in_left_camera=True, in_right_camera=True),
+    7: dict(in_backbone=1, in_lidar=False, in_route=True, in_speed=True),
+    8: dict(in_backbone=1, in_lidar=True, in_route=True, in_speed=True),
+    9: dict(in_backbone=1, in_lidar=False, in_route=True, in_bc_speed=True),
+    10: dict(in_backbone=1, in_lidar=False, in_route=False,
+             in_bc_speed=True),
+}
+
+_IN_DEFAULTS = dict(in_left_camera=False, in_right_camera=False,
+                    in_speed=False, in_bc_speed=False)
+
+OUTPUT_MODES = {
+    0: dict(),                                    # plain rgb reconstruction
+    1: dict(pred_light_state=True, pred_light_dist=True),
+    2: dict(pred_topdown_rgb=True, pred_light_state=True,
+            pred_light_dist=True),
+    3: dict(pred_light_state=True, pred_light_dist=True,
+            pred_topdown_seg=True),
+    4: dict(pred_lidar=True, pred_light_state=True, pred_light_dist=True),
+    5: dict(pred_lidar=True, pred_topdown_rgb=True, pred_light_state=True,
+            pred_light_dist=True),
+    6: dict(pred_lidar=True, pred_topdown_seg=True, pred_light_state=True,
+            pred_light_dist=True),
+    7: dict(pred_camera_seg=True),
+    8: dict(pred_camera_seg=True, pred_route=True),
+    9: dict(pred_camera_seg=True, pred_route=True, pred_light_state=True),
+    10: dict(pred_camera_seg=True, pred_left_camera_seg=True,
+             pred_right_camera_seg=True, pred_route=True),
+    11: dict(pred_camera_seg=True, pred_left_camera_seg=True,
+             pred_right_camera_seg=True, pred_route=True,
+             pred_light_state=True),
+    12: dict(pred_camera_seg=True, pred_route=True, pred_light_state=True,
+             pred_bc=True),
+    13: dict(pred_camera_seg=True, pred_light_state=True),
+    14: dict(pred_camera_seg=True, pred_light_state=True, pred_bc=True),
+}
+
+_OUT_DEFAULTS = dict(pred_light_state=False, pred_light_dist=False,
+                     pred_camera_seg=False, pred_left_camera_seg=False,
+                     pred_right_camera_seg=False, pred_route=False,
+                     pred_bc=False, pred_lidar=False, pred_topdown_rgb=False,
+                     pred_topdown_seg=False)
+
+
+def params_for_modes(input_mode: int, output_mode: int,
+                     **overrides) -> DANetParams:
+    """Expand (input_mode, output_mode) into a DANetParams, reproducing the
+    reference's channel arithmetic (auto_danet.py:111-145): input_channel =
+    3*in_backbone per camera view (+3*in_backbone lidar, +in_backbone route,
+    +1 speed); camera heads are 8-class seg when predicted, 3-channel recon
+    otherwise."""
+    fields = dict(_IN_DEFAULTS)
+    fields.update(INPUT_MODES[input_mode])
+    fields.update(_OUT_DEFAULTS)
+    fields.update(OUTPUT_MODES[output_mode])
+
+    nb = fields["in_backbone"]
+    channels = nb * 3
+    if fields.get("in_left_camera"):
+        channels += nb * 3
+    if fields.get("in_right_camera"):
+        channels += nb * 3
+    if fields.get("in_lidar"):
+        channels += nb * 3
+    if fields.get("in_route"):
+        channels += nb * 1
+    if fields.get("in_speed"):
+        channels += 1
+    fields["input_channel"] = channels
+    fields["camera_output_channel"] = 8 if fields["pred_camera_seg"] else 3
+    fields["left_camera_output_channel"] = \
+        8 if fields["pred_left_camera_seg"] else 3
+    fields["right_camera_output_channel"] = \
+        8 if fields["pred_right_camera_seg"] else 3
+    fields["input_mode"] = input_mode
+    fields["output_mode"] = output_mode
+    fields.update(overrides)
+    return dataclasses.replace(DANetParams(), **fields)

@@ -29,6 +29,11 @@ def main():
                    help="zoo model name: danet | vanilla_vae | beta_vae | "
                         "da_beta_vae | old_vae | oldv2_vae | unet | "
                         "att_unet | r2_unet | r2att_unet | nested_unet")
+    p.add_argument("--experiment", default=None,
+                   help="named reference experiment (configs/experiments.py"
+                        " EXPERIMENTS, e.g. auto_danet_exp50 for the CoPM"
+                        " w/o-attention ablation); overrides --model and the"
+                        " input/output modes")
     args = p.parse_args()
 
     from cadre_tpu.configs.danet_config import (
@@ -57,19 +62,26 @@ def main():
     loader = PerceptionDataLoader(args.data_dir, batch_size=args.batch_size,
                                   seed=args.seed, augment=args.augment)
     stats = compute_stats(loader.paths)
-    cfg = danet_params() if not args.small else danet_params(
-        da_feature_channel=64, inter_att_dims=48, z_dims=32)
+    small = dict(da_feature_channel=64, inter_att_dims=48, z_dims=32) \
+        if args.small else {}
     tp = PerceptionTrainParams(batch_size=args.batch_size,
                                max_epochs=args.epochs)
-    from cadre_tpu.models.registry import adapt_config, build_model
+    if args.experiment:
+        from cadre_tpu.configs.experiments import build_experiment
 
-    cfg = adapt_config(args.model, cfg)
+        model, cfg = build_experiment(args.experiment, **small)
+    else:
+        from cadre_tpu.models.registry import adapt_config, build_model
+
+        cfg = danet_params(**small)
+        cfg = adapt_config(args.model, cfg)
+        model = build_model(args.model, cfg)
     trainer = PerceptionTrainer(
         cfg, tp, steps_per_epoch=max(1, len(loader)),
         rng=jax.random.PRNGKey(args.seed),
         seg_class_weight=stats.seg_class_weight,
         light_class_weight=stats.light_class_weight,
-        model=build_model(args.model, cfg))
+        model=model)
     if args.resume:
         trainer.load(args.resume)
     trainer.solve(loader, epochs=args.epochs, work_dir=args.work_dir,
