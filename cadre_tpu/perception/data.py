@@ -118,9 +118,14 @@ class PerceptionDataLoader:
     steer/throttle [B], command/light_state [B] i32, light_dist [B].
     """
 
-    def __init__(self, root_dir: str, batch_size: int = 48, seed: int = 0,
+    def __init__(self, root_dir, batch_size: int = 48, seed: int = 0,
                  augment: bool = False, drop_last: bool = True):
-        self.paths = sorted(glob.glob(os.path.join(root_dir, "*.npz")))
+        # accepts a shard directory or an explicit list of shard paths
+        # (train/holdout splits reuse the same loader)
+        if isinstance(root_dir, (list, tuple)):
+            self.paths = list(root_dir)
+        else:
+            self.paths = sorted(glob.glob(os.path.join(root_dir, "*.npz")))
         if not self.paths:
             raise FileNotFoundError(f"no .npz shards under {root_dir}")
         self.batch_size = batch_size

@@ -95,6 +95,7 @@ class PerceptionTrainer:
             if light_class_weight is not None else None
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._per_class_fn = None
 
     # ---------------- steps ----------------
 
@@ -215,6 +216,70 @@ class PerceptionTrainer:
                 agg[k] = agg.get(k, 0.0) + v
             n += 1
         return {k: v / max(n, 1) for k, v in agg.items()}
+
+    def evaluate_per_class(self, loader, num_seg_classes: int = 8,
+                           num_light_classes: int = 4) -> Dict[str, Any]:
+        """Held-out per-class accuracy tables — the reference's
+        `test_route.py` protocol (Models/auto_trainer.py:656+ accumulates
+        imgSeg/lightState accuracies per class over a held-out route).
+
+        Returns {'seg_per_class': [C], 'seg_counts': [C],
+                 'light_per_class': [L], 'light_counts': [L],
+                 'seg_mean_class_acc', 'light_mean_class_acc',
+                 'seg_pixel_acc', 'light_acc'}.
+        """
+        if self._per_class_fn is None:
+            def counts(params, stats, batch):
+                outputs = self._apply(params, stats, batch, False)
+                out: Dict[str, Any] = {}
+                if self.cfg.pred_camera_seg:
+                    pred = jnp.argmax(outputs["camera"], axis=-1)
+                    true = batch["camera_seg"]
+                    oh = jax.nn.one_hot(true, num_seg_classes)
+                    hit = (pred == true)[..., None] * oh
+                    out["seg_correct"] = hit.sum(axis=(0, 1, 2))
+                    out["seg_total"] = oh.sum(axis=(0, 1, 2))
+                if self.cfg.pred_light_state:
+                    pred = jnp.argmax(outputs["light_state"], axis=-1)
+                    true = batch["light_state"]
+                    oh = jax.nn.one_hot(true, num_light_classes)
+                    hit = (pred == true)[:, None] * oh
+                    out["light_correct"] = hit.sum(axis=0)
+                    out["light_total"] = oh.sum(axis=0)
+                return out
+
+            self._per_class_fn = jax.jit(counts)
+
+        agg: Dict[str, np.ndarray] = {}
+        for batch in loader:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            c = self._per_class_fn(self.state.params,
+                                   self.state.batch_stats, batch)
+            for k, v in c.items():
+                agg[k] = agg.get(k, 0.0) + np.asarray(v)
+        report: Dict[str, Any] = {}
+        if "seg_total" in agg:
+            tot = np.maximum(agg["seg_total"], 1.0)
+            per = agg["seg_correct"] / tot
+            report["seg_per_class"] = per
+            report["seg_counts"] = agg["seg_total"]
+            seen = agg["seg_total"] > 0
+            report["seg_mean_class_acc"] = float(per[seen].mean()) \
+                if seen.any() else 0.0
+            report["seg_pixel_acc"] = float(
+                agg["seg_correct"].sum() / max(agg["seg_total"].sum(), 1.0))
+        if "light_total" in agg:
+            tot = np.maximum(agg["light_total"], 1.0)
+            per = agg["light_correct"] / tot
+            report["light_per_class"] = per
+            report["light_counts"] = agg["light_total"]
+            seen = agg["light_total"] > 0
+            report["light_mean_class_acc"] = float(per[seen].mean()) \
+                if seen.any() else 0.0
+            report["light_acc"] = float(
+                agg["light_correct"].sum()
+                / max(agg["light_total"].sum(), 1.0))
+        return report
 
     # ---------------- checkpoints ----------------
 

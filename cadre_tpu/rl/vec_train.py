@@ -55,12 +55,20 @@ def train_vec(vec_env, agent: CadreAgent,
               work_dir: Optional[str] = None,
               iteration_hook: Optional[Callable] = None,
               fused_update: bool = True,
-              incremental_features: bool = True) -> List[VecEpisodeStats]:
+              incremental_features: bool = True,
+              mesh=None) -> List[VecEpisodeStats]:
     """`fused_update` runs the whole GAE+epochs update phase as ONE jitted
     program (rl/fused_update.py) — one dispatch per iteration instead of
     ppo_epoch x mini_batch_num. `incremental_features` keeps the frame-
     feature history on device and ships only the newest frame per tick
-    (refreshing the full window after any env reset)."""
+    (refreshing the full window after any env reset).
+
+    `mesh` runs each PPO minibatch update as shard_map over the mesh's
+    'data' axis (parallel/train_step.make_distributed_update): grads are
+    psum-med across shards in-XLA — the chief + Shared_grad_buffers
+    topology of reference main.py:57-70 with the collective as the chief.
+    Takes precedence over `fused_update` (which is a single-device program).
+    """
     rollout_cfg = rollout_cfg or RolloutConfig()
     train_cfg = train_cfg or TrainConfig()
     n = vec_env.num_envs
@@ -103,6 +111,18 @@ def train_vec(vec_env, agent: CadreAgent,
                               gamma=rollout_cfg.gamma, tau=rollout_cfg.tau)
         fused_fn = make_fused_iteration_update(
             agent.steer_def, agent.throttle_def, ppo_cfg, rollout_cfg)
+
+    dist_fn = None
+    if mesh is not None:
+        from cadre_tpu.parallel.train_step import (
+            make_distributed_update,
+            shard_minibatch,
+        )
+
+        dist_fn = make_distributed_update(agent.steer_def,
+                                          agent.throttle_def,
+                                          agent.ppo_cfg, mesh)
+        fused_fn = None
 
     timer = PhaseTimer()
     feat_hist = None          # [T, N, F] device-resident (incremental path)
@@ -188,7 +208,16 @@ def train_vec(vec_env, agent: CadreAgent,
                             steer_buf, s_ret, s_adv, s_perm[sl])
                         t_mb = gather_minibatch_batched(
                             throttle_buf, t_ret, t_adv, t_perm[sl])
-                        losses.append(agent.update_policy(s_mb, t_mb))
+                        if dist_fn is not None:
+                            agent.params, agent.opt_state, aux = dist_fn(
+                                agent.params, agent.opt_state,
+                                shard_minibatch(mesh, s_mb),
+                                shard_minibatch(mesh, t_mb))
+                            losses.append((float(aux.value_loss),
+                                           float(aux.action_loss),
+                                           float(aux.entropy_loss)))
+                        else:
+                            losses.append(agent.update_policy(s_mb, t_mb))
             vl, pl, el = [float(np.mean([l[i] for l in losses]))
                           for i in range(3)]
 

@@ -34,9 +34,54 @@ def parse_args():
     p.add_argument("--small", action="store_true",
                    help="small encoder (fast CPU smoke runs)")
     p.add_argument("--carla-host", default="localhost")
-    p.add_argument("--carla-port", type=int, default=8010)
+    p.add_argument("--carla-port", type=int, default=8010,
+                   help="first server port; env k uses port+10*k "
+                        "(reference main.py:63-70 / start_server.sh)")
     p.add_argument("--town", default="Town01")
+    p.add_argument("--num-envs", type=int, default=1,
+                   help="N>1 trains the vectorized path (reference "
+                        "chief+N-worker topology, main.py:57-70)")
+    p.add_argument("--proc-envs", action="store_true",
+                   help="isolate each env in its own process over the C++ "
+                        "shm ring (runtime/proc_vec_env.py) instead of "
+                        "in-process envs")
+    p.add_argument("--mesh", default=None, choices=[None, "data"],
+                   help="'data' shards every PPO minibatch over all "
+                        "visible devices (grad psum over ICI = the chief)")
+    p.add_argument("--iterations", type=int, default=None,
+                   help="vectorized-path iteration count "
+                        "(default: episodes)")
     return p.parse_args()
+
+
+def make_env(kind: str, rank: int, args_dict: dict, work_dir):
+    """Module-level factory (picklable for the spawn-process vec path).
+    Per-rank: seed offset, CARLA port offset 10*rank (start_server.sh)."""
+    if kind == "fake":
+        from cadre_tpu.envs.fake_env import FakeDrivingEnv
+
+        return FakeDrivingEnv(episode_length=args_dict["num_steps"],
+                              seq_length=args_dict["seq_length"],
+                              seed=args_dict["seed"] + rank)
+    if kind == "carla":
+        from cadre_tpu.envs.carla_env import CarlaDrivingEnv
+
+        return CarlaDrivingEnv(
+            host=args_dict["carla_host"],
+            port=args_dict["carla_port"] + 10 * rank,
+            town=args_dict["town"], routes_file=args_dict["routes"],
+            scenario_file=args_dict["scenarios"],
+            vehicle_num=(args_dict["vehicles"], args_dict["walkers"]),
+            seq_length=args_dict["seq_length"], work_dir=work_dir,
+            rank=rank)
+    from cadre_tpu.envs.sim_env import SimDrivingEnv
+
+    return SimDrivingEnv(
+        routes_file=args_dict["routes"],
+        scenario_file=args_dict["scenarios"],
+        vehicle_num=(args_dict["vehicles"], args_dict["walkers"]),
+        seed=args_dict["seed"] + rank,
+        seq_length=args_dict["seq_length"], work_dir=work_dir, rank=rank)
 
 
 def build_env(args, work_dir):
@@ -84,7 +129,6 @@ def main():
     agent = CadreAgent.create(jax.random.PRNGKey(args.seed),
                               danet_cfg=danet_cfg, danet_vars=danet_vars)
 
-    env = build_env(args, work_dir)
     if args.config:
         import dataclasses
 
@@ -99,6 +143,50 @@ def main():
                                     seq_length=args.seq_length,
                                     feature_dims=agent.obs_dim)
         train_cfg = TrainConfig(max_episode=args.episodes)
+
+    if args.num_envs > 1:
+        # the reference's chief + N-worker topology (main.py:57-70), with
+        # the gradient psum as the chief and env workers either in-process
+        # or process-isolated over the C++ shm ring
+        import functools
+
+        from cadre_tpu.rl.vec_train import train_vec
+
+        args_dict = dict(num_steps=args.num_steps,
+                         seq_length=args.seq_length, seed=args.seed,
+                         carla_host=args.carla_host,
+                         carla_port=args.carla_port, town=args.town,
+                         routes=args.routes, scenarios=args.scenarios,
+                         vehicles=args.vehicles, walkers=args.walkers)
+        env_fns = [functools.partial(make_env, args.env, k, args_dict,
+                                     work_dir)
+                   for k in range(args.num_envs)]
+        if args.proc_envs:
+            from cadre_tpu.runtime.proc_vec_env import ProcVecDrivingEnv
+
+            vec = ProcVecDrivingEnv(env_fns, seq_length=args.seq_length)
+        else:
+            from cadre_tpu.envs.vec_env import VecDrivingEnv
+
+            vec = VecDrivingEnv(env_fns)
+        mesh = None
+        if args.mesh == "data":
+            from cadre_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+        iterations = args.iterations if args.iterations is not None else \
+            args.episodes
+        try:
+            train_vec(vec, agent, rollout_cfg, train_cfg,
+                      iterations=iterations, seed=args.seed,
+                      work_dir=work_dir, mesh=mesh)
+        finally:
+            close = getattr(vec, "close", None)
+            if close:
+                close()
+        return
+
+    env = build_env(args, work_dir)
     train(env, agent, rollout_cfg, train_cfg, rank=0, work_dir=work_dir,
           seed=args.seed)
 

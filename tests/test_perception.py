@@ -122,3 +122,24 @@ def test_registry_model_trains(dataset_dir):
     losses = trainer.train_step(batch, jax.random.PRNGKey(1))
     for key in ("seg", "route", "light_state", "visual_kld"):
         assert np.isfinite(float(losses[key])), key
+
+
+def test_per_class_evaluation(dataset_dir):
+    loader = PerceptionDataLoader(dataset_dir, batch_size=8, seed=4)
+    tp = PerceptionTrainParams(batch_size=8, max_epochs=1, warmup_epochs=0)
+    trainer = PerceptionTrainer(SMALL, tp, steps_per_epoch=len(loader),
+                                rng=jax.random.PRNGKey(4))
+    rep = trainer.evaluate_per_class(loader)
+    # per-class tables exist with the configured class counts
+    assert rep["seg_per_class"].shape == (8,)
+    assert rep["light_per_class"].shape == (4,)
+    assert 0.0 <= rep["seg_pixel_acc"] <= 1.0
+    assert 0.0 <= rep["light_acc"] <= 1.0
+    # classes absent from the data do not contribute to the mean
+    seen = rep["seg_counts"] > 0
+    import numpy as np
+    assert np.isclose(rep["seg_mean_class_acc"],
+                      rep["seg_per_class"][seen].mean())
+    # split-by-paths loader (the --holdout mechanism)
+    split = PerceptionDataLoader(loader.paths[-1:], batch_size=8)
+    assert split.paths == loader.paths[-1:]

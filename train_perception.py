@@ -29,6 +29,10 @@ def main():
                    help="zoo model name: danet | vanilla_vae | beta_vae | "
                         "da_beta_vae | old_vae | oldv2_vae | unet | "
                         "att_unet | r2_unet | r2att_unet | nested_unet")
+    p.add_argument("--holdout", action="store_true",
+                   help="hold out the last shard and report per-class "
+                        "seg/light accuracy tables after training "
+                        "(the reference's test_route.py protocol)")
     p.add_argument("--experiment", default=None,
                    help="named reference experiment (configs/experiments.py"
                         " EXPERIMENTS, e.g. auto_danet_exp50 for the CoPM"
@@ -84,8 +88,29 @@ def main():
         model=model)
     if args.resume:
         trainer.load(args.resume)
+    holdout = None
+    if args.holdout and len(loader.paths) > 1:
+        # last shard held out for the test_route-style per-class report
+        holdout = PerceptionDataLoader(
+            loader.paths[-1:], batch_size=args.batch_size, seed=args.seed)
+        loader = PerceptionDataLoader(
+            loader.paths[:-1], batch_size=args.batch_size, seed=args.seed,
+            augment=args.augment)
     trainer.solve(loader, epochs=args.epochs, work_dir=args.work_dir,
                   save_interval=args.save_interval)
+    if holdout is not None:
+        import numpy as _np
+
+        from cadre_tpu.utils.logger import logger
+
+        rep = trainer.evaluate_per_class(holdout)
+        for key in ("seg_per_class", "light_per_class"):
+            if key in rep:
+                logger.log(f"holdout {key}: " + " ".join(
+                    f"{v:.3f}" for v in _np.asarray(rep[key])))
+        logger.log("holdout summary: " + " ".join(
+            f"{k}={rep[k]:.4f}" for k in sorted(rep)
+            if isinstance(rep[k], float)))
 
 
 if __name__ == "__main__":
