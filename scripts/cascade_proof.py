@@ -1,0 +1,224 @@
+"""Cascade validation: does the trained CoPM encoder beat a random one?
+
+VERDICT (round 1) found the trained encoder bought nothing measurable
+(~58% completion vs ~60% for a random frozen encoder). This experiment
+makes the sim perceptually load-bearing — obstacles sit ON the route and
+are only observable through the camera (the policy obs is latent +
+[speed, dis, theta]; the obstacle sensor feeds only the reward) — then
+trains the SAME PPO configuration twice: once on a pretrained frozen
+encoder, once on a random frozen encoder, and reports completion and
+collision curves.
+
+Phases (run separately so each TPU session stays short):
+  collect   -> npz shards from the expert under randomized weather
+  pretrain  -> small DANet, holdout per-class report, checkpoint
+  rl        -> --arm trained|random, N vec envs, stats JSONL
+  report    -> compare the two arms' JSONL curves
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+
+def make_sim_env(rank: int, seed: int):
+    from cadre_tpu.envs.sim_env import SimDrivingEnv
+
+    # obstacles on/near the route: vehicles parked in-lane + wandering
+    # walkers; the camera is the only obs channel that sees them
+    return SimDrivingEnv(seed=seed + rank, vehicle_num=(6, 6),
+                         randomize_weather=True, rank=rank)
+
+
+def phase_collect(args):
+    from cadre_tpu.envs.expert import OracleExpert
+    from cadre_tpu.perception.data import collect_dataset
+
+    env = make_sim_env(0, args.seed)
+    env.seq_length = 2
+    shards = collect_dataset(env, OracleExpert(), args.frames,
+                             args.data_dir, seed=args.seed)
+    print(f"collected {args.frames} frames -> {len(shards)} shards")
+
+
+def _small_cfg():
+    from cadre_tpu.configs.danet_config import danet_params
+
+    return danet_params(da_feature_channel=64, inter_att_dims=48, z_dims=32)
+
+
+def phase_pretrain(args):
+    import jax
+
+    from cadre_tpu.configs.danet_config import PerceptionTrainParams
+    from cadre_tpu.perception.data import PerceptionDataLoader, compute_stats
+    from cadre_tpu.perception.trainer import PerceptionTrainer
+
+    paths = PerceptionDataLoader(args.data_dir, batch_size=args.batch).paths
+    train_loader = PerceptionDataLoader(paths[:-1], batch_size=args.batch,
+                                        seed=args.seed, augment=True)
+    holdout = PerceptionDataLoader(paths[-1:], batch_size=args.batch)
+    stats = compute_stats(train_loader.paths)
+    tp = PerceptionTrainParams(batch_size=args.batch,
+                               max_epochs=args.epochs)
+    trainer = PerceptionTrainer(
+        _small_cfg(), tp, steps_per_epoch=len(train_loader),
+        rng=jax.random.PRNGKey(args.seed),
+        seg_class_weight=stats.seg_class_weight,
+        light_class_weight=stats.light_class_weight)
+    trainer.solve(train_loader, epochs=args.epochs, work_dir=args.work_dir,
+                  save_interval=max(1, args.epochs // 2))
+    rep = trainer.evaluate_per_class(holdout)
+    out = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+           for k, v in rep.items()}
+    print("HOLDOUT " + json.dumps(out))
+    ckpt_path = os.path.join(args.work_dir, "encoder.msgpack")
+    trainer.save(ckpt_path)
+    print(f"saved {ckpt_path}")
+
+
+def phase_rl(args):
+    import functools
+
+    import jax
+
+    from cadre_tpu.configs.agent_config import (
+        AgentConfig,
+        RolloutConfig,
+        TrainConfig,
+    )
+    from cadre_tpu.envs.vec_env import VecDrivingEnv
+    from cadre_tpu.rl.agent import CadreAgent
+    from cadre_tpu.rl.vec_train import train_vec
+
+    cfg = _small_cfg()
+    danet_vars = None
+    if args.arm == "trained":
+        from cadre_tpu.utils.checkpoint import load_danet_checkpoint
+
+        danet_vars = load_danet_checkpoint(args.encoder, cfg)
+        print(f"loaded encoder {args.encoder}")
+    agent = CadreAgent.create(jax.random.PRNGKey(args.seed),
+                              danet_cfg=cfg, danet_vars=danet_vars)
+
+    vec = VecDrivingEnv([functools.partial(make_sim_env, k, args.seed)
+                         for k in range(args.num_envs)])
+    rollout = RolloutConfig(num_steps=args.num_steps,
+                            feature_dims=agent.obs_dim)
+    train_cfg = TrainConfig(max_episode=args.iterations, log_interval=5,
+                            save_interval=max(1, args.iterations // 8))
+    os.makedirs(args.work_dir, exist_ok=True)
+    log_path = os.path.join(args.work_dir, f"{args.arm}.jsonl")
+    f = open(log_path, "a")
+
+    def hook(stats):
+        f.write(json.dumps(dataclasses.asdict(stats)) + "\n")
+        f.flush()
+
+    train_vec(vec, agent, rollout, train_cfg, iterations=args.iterations,
+              seed=args.seed + 1, work_dir=os.path.join(args.work_dir,
+                                                        args.arm),
+              iteration_hook=hook)
+    f.close()
+    print(f"wrote {log_path}")
+
+
+def phase_eval(args):
+    """BASELINE config 5's eval protocol: 8-checkpoint vmapped ensemble,
+    25 episodes with traffic, mean completion + driving score
+    (eval_agent_config.py:51-57,80-84)."""
+    import glob
+
+    import jax
+
+    from cadre_tpu.configs.agent_config import EvalConfig
+    from cadre_tpu.envs.sim_env import SimDrivingEnv
+    from cadre_tpu.rl.agent import CadreAgent
+    from cadre_tpu.rl.evaluate import evaluate
+    from cadre_tpu.utils.checkpoint import load_danet_checkpoint
+
+    cfg = _small_cfg()
+    danet_vars = None
+    if args.arm == "trained" and os.path.exists(args.encoder):
+        danet_vars = load_danet_checkpoint(args.encoder, cfg)
+    agent = CadreAgent.create(jax.random.PRNGKey(args.seed), danet_cfg=cfg,
+                              danet_vars=danet_vars)
+    models = sorted(
+        glob.glob(os.path.join(args.work_dir, args.arm, "models",
+                               "*.msgpack")),
+        key=lambda p: int("".join(c for c in os.path.basename(p)
+                                  if c.isdigit())))
+    snaps = models[-8:]                        # last 8 checkpoints
+    print(f"ensemble over {len(snaps)} checkpoints: "
+          f"{[os.path.basename(s) for s in snaps]}")
+    env = SimDrivingEnv(seed=args.seed + 99, vehicle_num=(6, 6),
+                        training=False, randomize_weather=True,
+                        work_dir=os.path.join(args.work_dir, "eval"))
+    results = evaluate(env, agent, snaps,
+                       EvalConfig(eval_episode=args.episodes),
+                       seed=args.seed, max_steps=args.max_steps)
+    comp = np.array([r.completion_ratio for r in results])
+    score = np.array([r.driving_score for r in results])
+    out = {"arm": args.arm, "episodes": len(results),
+           "mean_completion": float(comp.mean()),
+           "mean_driving_score": float(score.mean())}
+    print("ENSEMBLE " + json.dumps(out))
+
+
+def phase_report(args):
+    out = {}
+    for arm in ("trained", "random"):
+        path = os.path.join(args.work_dir, f"{arm}.jsonl")
+        if not os.path.exists(path):
+            print(f"missing {path}")
+            continue
+        rows = [json.loads(l) for l in open(path)]
+        comp = np.array([r["mean_completion"] for r in rows
+                         if r["episodes_finished"] > 0])
+        k = max(1, len(comp) // 3)
+        out[arm] = {
+            "iterations": len(rows),
+            "final_third_completion_mean": float(comp[-k:].mean())
+            if len(comp) else 0.0,
+            "final_third_completion_std": float(comp[-k:].std())
+            if len(comp) else 0.0,
+            "best_completion": float(comp.max()) if len(comp) else 0.0,
+            "mean_throttle_reward_last10": float(np.mean(
+                [r["mean_throttle_reward"] for r in rows[-10:]])),
+        }
+    print(json.dumps(out, indent=2))
+    if "trained" in out and "random" in out:
+        gap = out["trained"]["final_third_completion_mean"] \
+            - out["random"]["final_third_completion_mean"]
+        print(f"GAP trained-random (final-third completion): {gap:+.2f} pts")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("phase",
+                   choices=["collect", "pretrain", "rl", "eval", "report"])
+    p.add_argument("--episodes", type=int, default=25)
+    p.add_argument("--max-steps", type=int, default=4000)
+    p.add_argument("--data-dir", default="/tmp/cascade_proof/data")
+    p.add_argument("--work-dir", default="/tmp/cascade_proof")
+    p.add_argument("--frames", type=int, default=12000)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--arm", choices=["trained", "random"], default="trained")
+    p.add_argument("--encoder", default="/tmp/cascade_proof/encoder.msgpack")
+    p.add_argument("--num-envs", type=int, default=8)
+    p.add_argument("--num-steps", type=int, default=200)
+    p.add_argument("--iterations", type=int, default=120)
+    args = p.parse_args()
+    {"collect": phase_collect, "pretrain": phase_pretrain,
+     "rl": phase_rl, "eval": phase_eval,
+     "report": phase_report}[args.phase](args)
+
+
+if __name__ == "__main__":
+    main()
