@@ -25,6 +25,11 @@ def bench_jax(batch: int = 256, iters: int = 30, use_bf16: bool = True):
     tunnel, not the chip. A lax.scan chain with a data dependency between
     iterations (and a single host fetch of a result-dependent scalar)
     measures true device throughput.
+
+    Returns (fps_production, fps_xla_attention, backend): the production
+    config (fused Pallas dual attention in its auto regime) and the same
+    model with XLA-only attention, measured back-to-back in one process so
+    the pair is robust to chip/session variance.
     """
     import jax
     import jax.numpy as jnp
@@ -34,31 +39,36 @@ def bench_jax(batch: int = 256, iters: int = 30, use_bf16: bool = True):
 
     from cadre_tpu.utils.precision import bf16_variables
 
-    cfg = danet_params()
-    model, variables = create_danet(cfg, jax.random.PRNGKey(0))
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
-    if use_bf16:
-        variables = bf16_variables(variables)
-    x = jax.random.uniform(jax.random.PRNGKey(1),
-                           (batch, cfg.image_height, cfg.image_width,
-                            cfg.input_channel)).astype(dtype)
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1), (batch, 144, 256, 4)).astype(dtype)
 
-    def chained(v, x0):
-        def body(x, _):
-            z = model.apply(v, x, method=DANet.latent)
-            # data dependency: perturb the next input with the latent
-            bump = jnp.tanh(z[:, :1, None, None]) * jnp.asarray(1e-3, dtype)
-            return x0 + bump, z.astype(jnp.float32).sum()
+    def measure(cfg):
+        model, variables = create_danet(cfg, jax.random.PRNGKey(0))
+        if use_bf16:
+            variables = bf16_variables(variables)
 
-        _, sums = jax.lax.scan(body, x0, None, length=iters)
-        return sums.sum()
+        def chained(v, x0):
+            def body(xc, _):
+                z = model.apply(v, xc, method=DANet.latent)
+                # data dependency: perturb the next input with the latent
+                bump = jnp.tanh(z[:, :1, None, None]) \
+                    * jnp.asarray(1e-3, dtype)
+                return x0 + bump, z.astype(jnp.float32).sum()
 
-    fn = jax.jit(chained)
-    float(fn(variables, x))  # compile + warm
-    t0 = time.perf_counter()
-    s = float(fn(variables, x))
-    dt = (time.perf_counter() - t0) / iters
-    return batch / dt, jax.default_backend()
+            _, sums = jax.lax.scan(body, x0, None, length=iters)
+            return sums.sum()
+
+        fn = jax.jit(chained)
+        float(fn(variables, x))  # compile + warm (fetch = reliable sync)
+        t0 = time.perf_counter()
+        float(fn(variables, x))
+        dt = (time.perf_counter() - t0) / iters
+        return batch / dt
+
+    fps = measure(danet_params())                         # production (auto)
+    fps_xla = measure(danet_params(use_fused_attention=False))
+    return fps, fps_xla, jax.default_backend()
 
 
 def bench_torch_cpu(batch: int = 8, iters: int = 5):
@@ -82,7 +92,7 @@ def bench_torch_cpu(batch: int = 8, iters: int = 5):
 
 
 def main():
-    jax_fps, backend = bench_jax()
+    jax_fps, xla_fps, backend = bench_jax()
     torch_fps = bench_torch_cpu()
     print(json.dumps({
         "metric": "danet_latent_frames_per_sec_per_chip",
@@ -90,6 +100,8 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(jax_fps / torch_fps, 2),
         "baseline_torch_cpu_fps": round(torch_fps, 1),
+        "xla_attention_fps": round(xla_fps, 1),
+        "fused_attention_speedup": round(jax_fps / xla_fps, 3),
         "backend": backend,
         "batch": 256,
         "dtype": "bfloat16",

@@ -51,8 +51,10 @@ class DANetParams:
     # encoder output geometry (stride-32 on 144x256)
     feat_h: int = 5
     feat_w: int = 8
-    # fused PAM+CAM Pallas kernel for the dual-attention head (TPU only)
-    use_fused_attention: bool = False
+    # fused PAM+CAM Pallas kernel for the dual-attention head:
+    # True | False | "auto" (auto = only the measured-faster regime —
+    # TPU + bf16 + VMEM-resident block; see BENCH_NOTES.md)
+    use_fused_attention: object = "auto"
 
     @property
     def latent_dim(self) -> int:

@@ -81,7 +81,22 @@ class DANetHead(nn.Module):
 
     out_channels: int
     axis_name: str | None = None
-    use_fused_attention: bool = False
+    # True | False | "auto": auto uses the fused Pallas kernel exactly in
+    # the regime where it measured faster than XLA on v5e — bf16 inputs
+    # with the whole attention block VMEM-resident (x1.14 at the production
+    # batch-256 5x8x128 shape; XLA wins at f32 and at large feature maps,
+    # see BENCH_NOTES.md)
+    use_fused_attention: Any = "auto"
+
+    def _resolve_fused(self, feat) -> bool:
+        if self.use_fused_attention != "auto":
+            return bool(self.use_fused_attention)
+        if jax.default_backend() != "tpu" or feat.dtype != jnp.bfloat16:
+            return False
+        p = feat.shape[1] * feat.shape[2]
+        c = feat.shape[-1]
+        resident = 4 * (5 * p * c + 2 * p * max(c // 8, 8) + p * p + c * c)
+        return resident <= (8 << 20)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -97,7 +112,7 @@ class DANetHead(nn.Module):
 
         sa_mod = PositionAttention(inter, name="sa")
         sc_mod = ChannelAttention(name="sc")
-        if self.use_fused_attention:
+        if self._resolve_fused(feat1):
             q, k, v, g_p = sa_mod.projections(feat1)
             g_c = sc_mod.gamma
             sa, sc = fused_dual_attention(feat1, q, k, v, g_p, feat2, g_c)

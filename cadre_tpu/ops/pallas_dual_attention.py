@@ -42,7 +42,8 @@ def _fused_kernel(xp_ref, q_ref, k_ref, v_ref, gp_ref, xc_ref, gc_ref,
         att = jax.nn.softmax(energy, axis=-1)
         out_p = jnp.dot(att.astype(v.dtype), v,
                         preferred_element_type=jnp.float32)  # [P, C]
-        outp_ref[i] = (g_pam * out_p + xp).astype(outp_ref.dtype)
+        outp_ref[i] = (g_pam * out_p
+                       + xp.astype(jnp.float32)).astype(outp_ref.dtype)
 
         # ---- channel attention ----
         gram = jax.lax.dot_general(
@@ -54,7 +55,8 @@ def _fused_kernel(xp_ref, q_ref, k_ref, v_ref, gp_ref, xc_ref, gc_ref,
         out_c = jax.lax.dot_general(
             xc, catt.astype(xc.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)            # [P, C]
-        outc_ref[i] = (g_cam * out_c + xc).astype(outc_ref.dtype)
+        outc_ref[i] = (g_cam * out_c
+                       + xc.astype(jnp.float32)).astype(outc_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -71,11 +73,20 @@ def dual_attention_pallas(x_pam: jax.Array, q: jax.Array, k: jax.Array,
     kf = k.reshape(b, p, cqk)
     vf = v.reshape(b, p, c)
     xc = x_cam.reshape(b, p, c)
-    g_p = jnp.broadcast_to(gamma_pam.reshape(-1)[:1], (1,)).astype(xp.dtype)
-    g_c = jnp.broadcast_to(gamma_cam.reshape(-1)[:1], (1,)).astype(xp.dtype)
+    # gammas stay f32: Mosaic only supports 32-bit scalar vector.extracts,
+    # so a bf16 gamma ref would fail to compile (the residual math runs in
+    # f32 anyway via preferred_element_type)
+    g_p = jnp.broadcast_to(gamma_pam.reshape(-1)[:1], (1,)).astype(
+        jnp.float32)
+    g_c = jnp.broadcast_to(gamma_cam.reshape(-1)[:1], (1,)).astype(
+        jnp.float32)
 
-    # several batch rows per grid step amortize grid overhead; pad batch
-    nb = 8
+    # several batch rows per grid step amortize grid overhead — but the
+    # whole block must fit VMEM (~16 MB on v5e); budget half of it and
+    # derive rows/step from the per-row residency (5 PxC tensors + q/k +
+    # the PxP energy and CxC gram intermediates)
+    bytes_per_row = 4 * (5 * p * c + 2 * p * cqk + p * p + c * c)
+    nb = max(1, min(8, (8 << 20) // max(bytes_per_row, 1)))
     pad = (-b) % nb
     if pad:
         padcfg = [(0, pad), (0, 0), (0, 0)]
