@@ -465,6 +465,27 @@ class NoSignalJunctionBehavior(ScenarioBehavior):
         return self._inner.tick(env)
 
 
+class WeatherBehavior(ScenarioBehavior):
+    """In-episode sun animation (srunner/scenariomanager/weather_sim.py
+    Weather + WeatherBehavior): the sun's altitude advances with sim time
+    and the world's lighting follows. The reference computes the true
+    astronomic position with ephem and writes carla.WeatherParameters; the
+    sim renderer needs only the altitude profile — it exposes
+    `env._sun_altitude` (degrees), which scales scene brightness via
+    sin(altitude) clamped at a twilight floor.
+    """
+
+    def __init__(self, sun_altitude_deg: float = 70.0,
+                 degrees_per_minute: float = 30.0):
+        self._alt = sun_altitude_deg
+        self._rate = degrees_per_minute / 60.0   # deg per sim second
+
+    def tick(self, env) -> bool:
+        self._alt -= self._rate * env.dt
+        env._sun_altitude = self._alt
+        return True                              # runs all episode
+
+
 # ---------------- trigger conditions + composition ----------------
 # (srunner/scenariomanager/scenarioatomics/atomic_trigger_conditions.py)
 

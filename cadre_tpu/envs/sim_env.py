@@ -99,6 +99,8 @@ class SimDrivingEnv(BaseDrivingEnv):
                  weather: Optional[str] = "ClearNoon",
                  randomize_weather: bool = False,
                  with_traffic_lights: bool = True,
+                 animate_weather: bool = False,
+                 sun_altitude: float = 70.0,
                  **kwargs):
         super().__init__(training=training, **kwargs)
         self._rng = np.random.RandomState(seed)
@@ -124,6 +126,9 @@ class SimDrivingEnv(BaseDrivingEnv):
         self._obstacles: List[SimObstacle] = []
         self._route_xy = np.zeros((2, 2))
         self._with_traffic_lights = with_traffic_lights
+        self._animate_weather = animate_weather
+        self._sun_altitude = sun_altitude
+        self._sun_altitude0 = sun_altitude
         self._lights: List[TrafficLightInfo] = []
         self._collision = {"static": False, "vehicle": False, "walker": False}
         self._current_config: Optional[RouteConfig] = None
@@ -211,6 +216,23 @@ class SimDrivingEnv(BaseDrivingEnv):
                 self._scenario_annotations, dense, rng=self._rng)
         else:
             self._scenario_manager = None
+
+        # in-episode sun animation (the reference WeatherBehavior sits in
+        # every scenario tree, basic_scenario.py:204-303)
+        self._sun_altitude = self._sun_altitude0
+        if self._animate_weather:
+            from cadre_tpu.envs.scenarios import (
+                ScenarioManager,
+                ScenarioTrigger,
+                WeatherBehavior,
+            )
+
+            if self._scenario_manager is None:
+                self._scenario_manager = ScenarioManager([])
+            self._scenario_manager.triggers.append(ScenarioTrigger(
+                kind="weather", at_tick=1,
+                builder=lambda env, rng: WeatherBehavior(
+                    sun_altitude_deg=self._sun_altitude0)))
 
     def _planner_step(self, gps):
         return self._planner.run_step(gps)
@@ -303,6 +325,13 @@ class SimDrivingEnv(BaseDrivingEnv):
         h, w = SIZE_X, SIZE_Y  # 144 x 256
         sky, brightness, noise_std = WEATHER_PRESETS.get(
             self.weather, WEATHER_PRESETS["ClearNoon"])
+        # sun animation (WeatherBehavior): brightness follows sin(altitude)
+        # normalized to the default 70-degree sun, floored at twilight
+        alt = getattr(self, "_sun_altitude", 70.0)
+        if alt != 70.0:
+            factor = math.sin(math.radians(max(alt, 0.0))) \
+                / math.sin(math.radians(70.0))
+            brightness = brightness * float(np.clip(factor, 0.15, 1.05))
         img = np.zeros((h, w, 3), np.uint8)
         seg = np.zeros((h, w), np.uint8)
         img[: h // 2] = sky

@@ -213,3 +213,22 @@ def test_manager_runs_signal_junction_from_annotation():
         env.step([0.0, 0.3, 0.0])
     assert len(env._obstacles) == n0 + 1   # the conflict vehicle spawned
     assert mgr.triggers[0].fired
+
+
+def test_weather_behavior_darkens_scene():
+    env = SimDrivingEnv(seed=3, animate_weather=True, sun_altitude=70.0)
+    env.reset()
+    img0 = env._render_rgb()
+    # run the sun down (~30 deg/min at 10 Hz)
+    for _ in range(400):
+        env.step([0.0, 0.1, 0.0])
+    assert env._sun_altitude < 70.0
+    env._sun_altitude = 5.0            # near the horizon
+    img1 = env._render_rgb()
+    ground0 = img0[90:].astype(float).mean()
+    ground1 = img1[90:].astype(float).mean()
+    assert ground1 < ground0 * 0.6     # visibly darker below the horizon
+    # a fresh episode restores the configured sun (modulo the 7 history
+    # prefill steps, each of which legitimately ticks the animation)
+    env.reset()
+    assert env._sun_altitude > 69.0
