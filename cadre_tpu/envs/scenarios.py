@@ -486,6 +486,237 @@ class WeatherBehavior(ScenarioBehavior):
         return True                              # runs all episode
 
 
+class AccelerateToVelocityBehavior(OwnedActorBehavior):
+    """Atomic AccelerateToVelocity (atomic_behaviors.py:862-913): ramp the
+    actor's speed by `throttle_inc` per tick until `target_velocity`."""
+
+    def __init__(self, ob, target_velocity: float, throttle_inc: float = 0.4):
+        self._own(ob)
+        self._target = target_velocity
+        self._inc = throttle_inc
+
+    def tick(self, env) -> bool:
+        if not self._owned():
+            return False
+        self._ob.speed = min(self._target, self._ob.speed + self._inc)
+        _advance(self._ob, env.dt)
+        return self._ob.speed < self._target
+
+
+class StopVehicleBehavior(OwnedActorBehavior):
+    """Atomic StopVehicle (atomic_behaviors.py:1147-1191): full brake until
+    the actor stands still."""
+
+    def __init__(self, ob, brake_decel: float = 6.0):
+        self._own(ob)
+        self._decel = brake_decel
+
+    def tick(self, env) -> bool:
+        if not self._owned():
+            return False
+        self._ob.speed = max(0.0, self._ob.speed - self._decel * env.dt)
+        _advance(self._ob, env.dt)
+        return self._ob.speed > 1e-3
+
+
+class HandBrakeVehicleBehavior(ScenarioBehavior):
+    """Atomic HandBrakeVehicle (atomic_behaviors.py:1757-1795): lock the
+    actor in place for `duration` ticks (hand-brake on then off)."""
+
+    def __init__(self, ob, duration: int = 10):
+        self._ob = ob
+        self._saved_speed = ob.speed
+        ob.speed = 0.0
+        ob.managed = True
+        self._remaining = duration
+
+    def tick(self, env) -> bool:
+        self._remaining -= 1
+        if self._remaining <= 0:
+            self._ob.speed = self._saved_speed
+            self._ob.managed = False
+            return False
+        return True
+
+
+class SetInitSpeedBehavior(ScenarioBehavior):
+    """Atomic SetInitSpeed (atomic_behaviors.py:1723-1756): one-shot initial
+    velocity, actor then integrates itself (managed=False)."""
+
+    def __init__(self, ob, speed: float):
+        ob.speed = speed
+        ob.managed = False
+
+    def tick(self, env) -> bool:
+        return False
+
+
+class ActorTransformSetterBehavior(ScenarioBehavior):
+    """Atomic ActorTransformSetter (atomic_behaviors.py:1824-1875): teleport
+    the actor to a pose (one-shot)."""
+
+    def __init__(self, ob, pos, heading: Optional[float] = None):
+        ob.pos = np.asarray(pos, float).copy()
+        if heading is not None:
+            ob.heading = heading
+        actor = getattr(ob, "actor", None)
+        if actor is not None:
+            try:
+                tf = actor.get_transform()
+                tf.location.x, tf.location.y = float(pos[0]), float(pos[1])
+                if heading is not None:
+                    tf.rotation.yaw = math.degrees(heading)
+                actor.set_transform(tf)
+            except RuntimeError:
+                pass
+
+    def tick(self, env) -> bool:
+        return False
+
+
+def _destroy_actor(env, ob) -> None:
+    actor = getattr(ob, "actor", None)
+    if actor is not None:
+        try:
+            actor.destroy()
+        except RuntimeError:
+            pass
+    obstacles = getattr(env, "_obstacles", None)
+    if obstacles is not None:
+        # identity, not ==: SimObstacle holds numpy fields
+        env._obstacles = [o for o in obstacles if o is not ob]
+
+
+class ActorDestroyBehavior(ScenarioBehavior):
+    """Atomic ActorDestroy (atomic_behaviors.py:1796-1823)."""
+
+    def __init__(self, ob):
+        self._ob = ob
+
+    def tick(self, env) -> bool:
+        _destroy_actor(env, self._ob)
+        return False
+
+
+class ActorSourceBehavior(ScenarioBehavior):
+    """Atomic ActorSource (atomic_behaviors.py:1915-1971): spawn a steady
+    flow of vehicles at a location (one every `interval` seconds) headed
+    along `heading`, as long as the spawn point is clear."""
+
+    def __init__(self, pos, heading: float, speed: float = 5.0,
+                 interval: float = 4.0, kind: str = "vehicle"):
+        self._pos = np.asarray(pos, float)
+        self._heading = heading
+        self._speed = speed
+        self._interval = interval
+        self._kind = kind
+        self._t = 0.0
+        self.spawned: List[Any] = []
+
+    def tick(self, env) -> bool:
+        self._t += env.dt
+        if self._t >= self._interval:
+            clear = all(float(np.hypot(*(ob.pos - self._pos))) > 4.0
+                        for ob in getattr(env, "_obstacles", []))
+            if clear:
+                ob = env.spawn_scenario_actor(
+                    self._kind, self._pos, heading=self._heading,
+                    speed=self._speed)
+                ob.managed = True     # the source drives its flow
+                self.spawned.append(ob)
+                self._t = 0.0
+        alive = {id(o) for o in getattr(env, "_obstacles", [])}
+        for ob in self.spawned:
+            if id(ob) in alive:       # sink may have despawned it
+                _advance(ob, env.dt)
+        return True                   # runs all episode
+
+
+class ActorSinkBehavior(ScenarioBehavior):
+    """Atomic ActorSink (atomic_behaviors.py:1972-1998): despawn any actor
+    entering `radius` of `pos` (the far end of an ActorSource flow)."""
+
+    def __init__(self, pos, radius: float = 5.0):
+        self._pos = np.asarray(pos, float)
+        self._r = radius
+
+    def tick(self, env) -> bool:
+        for ob in list(getattr(env, "_obstacles", [])):
+            if float(np.hypot(*(ob.pos - self._pos))) < self._r:
+                _destroy_actor(env, ob)
+        return True
+
+
+class TrafficLightStateSetterBehavior(ScenarioBehavior):
+    """Atomic TrafficLightStateSetter (atomic_behaviors.py:1876-1914): force
+    one light to a state (frozen until reset_lights)."""
+
+    def __init__(self, light, state: str):
+        light.frozen = state
+        actor = getattr(light, "actor", None)
+        if actor is not None:
+            try:
+                actor.set_state(state)
+                actor.freeze(True)
+            except RuntimeError:
+                pass
+
+    def tick(self, env) -> bool:
+        return False
+
+
+class AddNoiseToVehicleBehavior(ScenarioBehavior):
+    """Atomic AddNoiseToVehicle (atomic_behaviors.py:1269-1306): constant
+    steer/throttle offsets on the EGO controls for `duration` ticks (the
+    ControlLoss building block; ChangeNoiseParameters re-targets it)."""
+
+    def __init__(self, steer_noise: float = 0.1, throttle_noise: float = 0.0,
+                 duration: int = 20):
+        self._steer = steer_noise
+        self._throttle = throttle_noise
+        self._remaining = duration
+
+    def set_parameters(self, steer_noise: float, throttle_noise: float,
+                       duration: Optional[int] = None) -> None:
+        """ChangeNoiseParameters (atomic_behaviors.py:1307-1345)."""
+        self._steer = steer_noise
+        self._throttle = throttle_noise
+        if duration is not None:
+            self._remaining = duration
+
+    def tick(self, env) -> bool:
+        env._control_noise = self._steer
+        env._throttle_noise = self._throttle
+        self._remaining -= 1
+        if self._remaining <= 0:
+            env._control_noise = 0.0
+            env._throttle_noise = 0.0
+            return False
+        return True
+
+
+class BasicAgentBehavior(OwnedActorBehavior):
+    """Atomic BasicAgentBehavior (atomic_behaviors.py:1346-1393): drive the
+    actor toward a target location at a target speed (the CARLA BasicAgent
+    reduced to a single-goal pursuit), finishing on arrival."""
+
+    def __init__(self, ob, target, speed: float = 5.0):
+        self._own(ob)
+        self._ob.speed = speed
+        self._target = np.asarray(target, float)
+
+    def tick(self, env) -> bool:
+        if not self._owned():
+            return False
+        d = self._target - self._ob.pos
+        dist = float(np.hypot(*d))
+        if dist < 1.0:
+            return False
+        self._ob.heading = math.atan2(d[1], d[0])
+        _advance(self._ob, env.dt)
+        return True
+
+
 # ---------------- trigger conditions + composition ----------------
 # (srunner/scenariomanager/scenarioatomics/atomic_trigger_conditions.py)
 
@@ -566,6 +797,98 @@ class WaitEndIntersection(Condition):
         return self._entered and not inside
 
 
+class TriggerVelocity(Condition):
+    """True once the actor's speed exceeds `target_velocity`
+    (atomic_trigger_conditions.py:513-555)."""
+
+    def __init__(self, ob, target_velocity: float):
+        self._ob, self._v = ob, target_velocity
+
+    def __call__(self, env) -> bool:
+        speed = env._speed if self._ob == "ego" else self._ob.speed
+        return speed > self._v
+
+
+def _actor_pos(env, ob) -> np.ndarray:
+    return env._pos if ob == "ego" else ob.pos
+
+
+def _actor_speed(env, ob) -> float:
+    return float(env._speed if ob == "ego" else ob.speed)
+
+
+class InTimeToArrivalToLocation(Condition):
+    """True when the actor's ETA to `target` drops below `time` seconds
+    (atomic_trigger_conditions.py:930-983)."""
+
+    def __init__(self, ob, target, time: float):
+        self._ob, self._t = ob, np.asarray(target, float)
+        self._time = time
+
+    def __call__(self, env) -> bool:
+        d = float(np.hypot(*(self._t - _actor_pos(env, self._ob))))
+        v = _actor_speed(env, self._ob)
+        if v < 1e-3:
+            return d < 0.5
+        return d / v < self._time
+
+
+class InTimeToArrivalToVehicle(Condition):
+    """True when the closing-time between two actors drops below `time`
+    (atomic_trigger_conditions.py:984-1058)."""
+
+    def __init__(self, ob, other, time: float):
+        self._a, self._b, self._time = ob, other, time
+
+    def __call__(self, env) -> bool:
+        d = float(np.hypot(*(_actor_pos(env, self._a)
+                             - _actor_pos(env, self._b))))
+        v = _actor_speed(env, self._a) + _actor_speed(env, self._b)
+        if v < 1e-3:
+            return d < 0.5
+        return d / v < self._time
+
+
+class InTriggerRegion(Condition):
+    """True while the actor is inside the axis-aligned box
+    (atomic_trigger_conditions.py:695-740)."""
+
+    def __init__(self, ob, min_x: float, max_x: float, min_y: float,
+                 max_y: float):
+        self._ob = ob
+        self._box = (min_x, max_x, min_y, max_y)
+
+    def __call__(self, env) -> bool:
+        p = _actor_pos(env, self._ob)
+        x0, x1, y0, y1 = self._box
+        return x0 <= p[0] <= x1 and y0 <= p[1] <= y1
+
+
+class RelativeVelocityToOtherActor(Condition):
+    """True once speed(a) - speed(b) exceeds `value`
+    (atomic_trigger_conditions.py:464-512)."""
+
+    def __init__(self, ob, other, value: float):
+        self._a, self._b, self._v = ob, other, value
+
+    def __call__(self, env) -> bool:
+        return (_actor_speed(env, self._a)
+                - _actor_speed(env, self._b)) > self._v
+
+
+class WaitForTrafficLightState(Condition):
+    """True once the light reaches `state`
+    (atomic_trigger_conditions.py:1294-1331). Reads the frozen state or the
+    sim light cycle via the env clock."""
+
+    def __init__(self, light, state: str):
+        self._light, self._state = light, state
+
+    def __call__(self, env) -> bool:
+        t = getattr(env, "_step_count", 0) * env.dt
+        return self._light.state_at(t) == self._state
+
+
 class ConditionBehavior(ScenarioBehavior):
     """Adapter: a condition as a behavior that runs until satisfied (the
     py_trees pattern of putting trigger conditions inside sequences)."""
@@ -590,6 +913,26 @@ class SequenceBehavior(ScenarioBehavior):
                 return True
             self._children.pop(0)
         return False
+
+
+class ParallelBehavior(ScenarioBehavior):
+    """py_trees Parallel equivalent: tick all children every step.
+    `success_on_one=True` finishes when ANY child finishes (the
+    SUCCESS_ON_ONE policy the scenario behavior trees use); otherwise runs
+    until all children finish (SUCCESS_ON_ALL)."""
+
+    def __init__(self, children: Sequence[ScenarioBehavior],
+                 success_on_one: bool = True):
+        self._children = list(children)
+        self._one = success_on_one
+
+    def tick(self, env) -> bool:
+        still = [c for c in self._children if c.tick(env)]
+        finished_any = len(still) < len(self._children)
+        self._children = still
+        if self._one and finished_any:
+            return False
+        return bool(self._children)
 
 
 _BEHAVIOR_BUILDERS = {

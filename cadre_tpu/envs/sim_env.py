@@ -133,6 +133,7 @@ class SimDrivingEnv(BaseDrivingEnv):
         self._collision = {"static": False, "vehicle": False, "walker": False}
         self._current_config: Optional[RouteConfig] = None
         self._control_noise = 0.0
+        self._throttle_noise = 0.0
         self._scenario_manager = None
         self._scenario_annotations = None
         if scenario_file is not None:
@@ -209,6 +210,7 @@ class SimDrivingEnv(BaseDrivingEnv):
 
         # adversarial scenario triggers along the route
         self._control_noise = 0.0
+        self._throttle_noise = 0.0
         if self._scenario_annotations:
             from cadre_tpu.envs.scenarios import ScenarioManager
 
@@ -256,6 +258,7 @@ class SimDrivingEnv(BaseDrivingEnv):
             self._scenario_manager.tick(self)
         steer = steer + self._control_noise  # ControlLoss injection
         steer = max(-1.0, min(1.0, steer))
+        throttle = throttle + self._throttle_noise  # AddNoiseToVehicle
         throttle = max(0.0, min(1.0, throttle))
         brake = max(0.0, min(1.0, brake))
 

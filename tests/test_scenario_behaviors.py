@@ -232,3 +232,166 @@ def test_weather_behavior_darkens_scene():
     # prefill steps, each of which legitimately ticks the animation)
     env.reset()
     assert env._sun_altitude > 69.0
+
+
+def test_velocity_ramp_stop_and_handbrake():
+    from cadre_tpu.envs.scenarios import (
+        AccelerateToVelocityBehavior,
+        HandBrakeVehicleBehavior,
+        StopVehicleBehavior,
+    )
+
+    env = _env()
+    ob = env.spawn_scenario_actor("vehicle", env._pos + [20, 0], speed=0.0)
+    beh = AccelerateToVelocityBehavior(ob, target_velocity=4.0,
+                                       throttle_inc=1.0)
+    for _ in range(10):
+        if not beh.tick(env):
+            break
+    assert ob.speed == 4.0
+
+    stop = StopVehicleBehavior(ob, brake_decel=10.0)
+    for _ in range(20):
+        if not stop.tick(env):
+            break
+    assert ob.speed == 0.0
+
+    ob.speed = 3.0
+    hb = HandBrakeVehicleBehavior(ob, duration=3)
+    assert ob.speed == 0.0 and ob.managed
+    for _ in range(3):
+        hb.tick(env)
+    assert ob.speed == 3.0 and not ob.managed
+
+
+def test_transform_setter_destroy_and_init_speed():
+    from cadre_tpu.envs.scenarios import (
+        ActorDestroyBehavior,
+        ActorTransformSetterBehavior,
+        SetInitSpeedBehavior,
+    )
+
+    env = _env()
+    ob = env.spawn_scenario_actor("vehicle", env._pos + [20, 0])
+    tgt = env._pos + np.array([5.0, 5.0])
+    assert ActorTransformSetterBehavior(ob, tgt, heading=1.0).tick(env) \
+        is False
+    np.testing.assert_allclose(ob.pos, tgt)
+    assert ob.heading == 1.0
+
+    SetInitSpeedBehavior(ob, 6.0)
+    assert ob.speed == 6.0 and not ob.managed
+
+    n0 = len(env._obstacles)
+    ActorDestroyBehavior(ob).tick(env)
+    assert len(env._obstacles) == n0 - 1
+    assert all(o is not ob for o in env._obstacles)
+
+
+def test_actor_source_and_sink_flow():
+    from cadre_tpu.envs.scenarios import (
+        ActorSinkBehavior,
+        ActorSourceBehavior,
+    )
+
+    env = _env()
+    far = env._pos + np.array([200.0, 0.0])
+    src = ActorSourceBehavior(far, heading=0.0, speed=8.0, interval=0.2)
+    for _ in range(10):
+        assert src.tick(env)              # the source drives its flow
+    assert len(src.spawned) >= 2          # flow spawns repeatedly
+    # spacing: never two actors within 4 m of the source simultaneously
+    sink = ActorSinkBehavior(src.spawned[0].pos, radius=5.0)
+    n0 = len(env._obstacles)
+    assert sink.tick(env)
+    assert len(env._obstacles) < n0       # at least one despawned
+
+
+def test_light_setter_and_wait_for_state():
+    from cadre_tpu.envs.scenarios import (
+        TrafficLightStateSetterBehavior,
+        WaitForTrafficLightState,
+    )
+
+    env = _env()
+    light = env._lights[0]
+    cond = WaitForTrafficLightState(light, RED)
+    TrafficLightStateSetterBehavior(light, RED)
+    assert light.frozen == RED and cond(env)
+    light.frozen = GREEN
+    assert not cond(env)
+
+
+def test_add_noise_to_vehicle_perturbs_ego_controls():
+    from cadre_tpu.envs.scenarios import AddNoiseToVehicleBehavior
+
+    env = _env(lights=False)
+    beh = AddNoiseToVehicleBehavior(steer_noise=0.0, throttle_noise=1.0,
+                                    duration=30)
+    beh.set_parameters(0.0, 1.0)
+    env._scenario_manager = ScenarioManager(
+        [ScenarioTrigger("noise", at_tick=1,
+                         builder=lambda e, rng: beh)])
+    for _ in range(10):
+        env.step([0.0, 0.0, 0.0])         # zero throttle commanded
+    assert env._speed > 0.1               # noise throttled the ego
+    for _ in range(30):
+        env.step([0.0, 0.0, 1.0])
+    assert env._throttle_noise == 0.0     # expired and reset
+
+
+def test_time_to_arrival_region_and_relative_velocity():
+    from cadre_tpu.envs.scenarios import (
+        InTimeToArrivalToLocation,
+        InTimeToArrivalToVehicle,
+        InTriggerRegion,
+        RelativeVelocityToOtherActor,
+        TriggerVelocity,
+    )
+
+    env = _env(lights=False)
+    ob = env.spawn_scenario_actor("vehicle", env._pos + [10, 0], speed=5.0)
+    assert InTimeToArrivalToLocation(ob, ob.pos + [4.0, 0.0], 2.0)(env)
+    assert not InTimeToArrivalToLocation(ob, ob.pos + [100.0, 0.0],
+                                         2.0)(env)
+    env._speed = 5.0
+    assert InTimeToArrivalToVehicle("ego", ob, 2.0)(env)
+    p = env._pos
+    assert InTriggerRegion("ego", p[0] - 1, p[0] + 1, p[1] - 1,
+                           p[1] + 1)(env)
+    assert not InTriggerRegion(ob, p[0] - 1, p[0] + 1, p[1] - 1,
+                               p[1] + 1)(env)
+    assert TriggerVelocity(ob, 4.0)(env)
+    assert not TriggerVelocity(ob, 6.0)(env)
+    ob.speed = 1.0
+    assert RelativeVelocityToOtherActor("ego", ob, 3.0)(env)
+    assert not RelativeVelocityToOtherActor(ob, "ego", 3.0)(env)
+
+
+def test_parallel_behavior_policies():
+    from cadre_tpu.envs.scenarios import ParallelBehavior
+
+    env = _env(lights=False)
+    one = ParallelBehavior([IdleBehavior(2), IdleBehavior(10)],
+                           success_on_one=True)
+    assert one.tick(env)                  # both still running
+    assert not one.tick(env)              # first finished -> whole done
+    allp = ParallelBehavior([IdleBehavior(2), IdleBehavior(4)],
+                            success_on_one=False)
+    ticks = 0
+    while allp.tick(env):
+        ticks += 1
+    assert ticks == 3                     # runs until the longest finishes
+
+
+def test_basic_agent_drives_to_target():
+    from cadre_tpu.envs.scenarios import BasicAgentBehavior
+
+    env = _env(lights=False)
+    ob = env.spawn_scenario_actor("vehicle", env._pos + [10, 10])
+    target = env._pos + np.array([10.0, -10.0])
+    beh = BasicAgentBehavior(ob, target, speed=10.0)
+    for _ in range(200):
+        if not beh.tick(env):
+            break
+    assert float(np.hypot(*(ob.pos - target))) < 1.5
