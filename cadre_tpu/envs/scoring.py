@@ -57,6 +57,24 @@ def score_route(route_id: str, criteria: Sequence[Criterion]) -> RouteRecord:
                        score=completion * penalty)
 
 
+def write_criteria_csv(path: str, criteria: Sequence[Criterion]) -> None:
+    """Append one row of per-criterion actual_values, creating the file with
+    a criterion-name header (the reference writes its fixed 7-criterion
+    header once, scenario_manager.py:85-91, then appends
+    `criterion.actual_value` per episode in get_criteria() order,
+    result_writer.py:44-58; here the header names track the env's actual
+    criteria set, which may include RouteTimeout)."""
+    import csv
+    import os
+
+    new = not os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        writer = csv.writer(f)
+        if new:
+            writer.writerow([c.name for c in criteria])
+        writer.writerow([c.actual_value for c in criteria])
+
+
 class StatisticsManager:
     """Accumulates per-route records; `global_record` averages scores."""
 

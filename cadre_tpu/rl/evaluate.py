@@ -30,8 +30,11 @@ class EvalEpisodeResult:
 
 def evaluate(env, agent: CadreAgent, snapshot_paths: Sequence[str],
              eval_cfg: Optional[EvalConfig] = None, seed: int = 0,
-             max_steps: int = 6000) -> List[EvalEpisodeResult]:
-    from cadre_tpu.envs.scoring import StatisticsManager
+             max_steps: int = 6000,
+             result_file: Optional[str] = None) -> List[EvalEpisodeResult]:
+    """`result_file` mirrors the reference ScenarioManager's per-criterion
+    CSV (scenario_manager.py:85-91): one actual_value row per episode."""
+    from cadre_tpu.envs.scoring import StatisticsManager, write_criteria_csv
 
     eval_cfg = eval_cfg or EvalConfig()
     ens = EnsembleAgent(agent, list(snapshot_paths))
@@ -58,6 +61,8 @@ def evaluate(env, agent: CadreAgent, snapshot_paths: Sequence[str],
             score = rec.score
             if not done:  # episode cut by max_steps: use live progress
                 ratio = rec.completion
+            if result_file:
+                write_criteria_csv(result_file, criteria)
         results.append(EvalEpisodeResult(episode, steps, ratio, msg, score))
         logger.log(f"eval episode {episode}: {steps} steps, completion "
                    f"{ratio:.1f}%, driving score {score:.1f}, end: {msg!r}")

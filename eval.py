@@ -76,9 +76,13 @@ def main():
             seq_length=args.seq_length, work_dir=args.work_dir,
             seed=args.seed)
 
+    import os
+
     results = evaluate(env, agent, paths,
                        EvalConfig(eval_episode=args.episodes),
-                       seed=args.seed)
+                       seed=args.seed,
+                       result_file=os.path.join(args.work_dir,
+                                                "criteria_results.csv"))
     mean_ratio = sum(r.completion_ratio for r in results) / len(results)
     print(f"mean completion ratio over {len(results)} episodes: "
           f"{mean_ratio:.2f}%")

@@ -94,3 +94,23 @@ def test_autonomous_agent_contract():
     agent.set_global_plan(plan, coords)
     assert agent._global_plan is not None
     assert len(agent._global_plan) <= 5
+
+
+def test_write_criteria_csv(tmp_path):
+    """Per-criterion CSV rows (scenario_manager.py:85-91 header +
+    result_writer.py:44-58 actual_value rows)."""
+    from cadre_tpu.envs.criteria import Criterion
+    from cadre_tpu.envs.scoring import write_criteria_csv
+
+    crits = []
+    for i in range(7):
+        c = Criterion()
+        c.actual_value = float(i)
+        crits.append(c)
+    path = str(tmp_path / "criteria_results.csv")
+    write_criteria_csv(path, crits)
+    write_criteria_csv(path, crits)          # append, header once
+    rows = open(path).read().strip().splitlines()
+    assert rows[0] == ",".join(c.name for c in crits)
+    assert len(rows) == 3
+    assert rows[1] == "0.0,1.0,2.0,3.0,4.0,5.0,6.0"
