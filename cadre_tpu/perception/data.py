@@ -14,6 +14,7 @@ Config/auto_basic_config.py:51-79), emitting NHWC model-ready dicts.
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import glob
 import os
@@ -110,16 +111,47 @@ def _augment(rgb: np.ndarray, rng: np.random.RandomState,
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+def unpack_batch(batch):
+    """Device-side unpack of a `packed=True` wire batch (jnp, jit-safe).
+
+    The f32 model batch is ~84 MB at B=64 while the underlying data is
+    uint8; packing ships ~12 MB over PCIe/tunnel and normalizes on device
+    (where it fuses into the first conv). No-op for already-unpacked
+    batches.
+    """
+    import jax.numpy as jnp
+
+    if "rgb_u8" not in batch:
+        return batch
+    rgb = batch["rgb_u8"].astype(jnp.float32) / 255.0
+    route_raw = batch["route_u8"].astype(jnp.float32)   # [B,256,144] {0,255}
+    m = route_raw.max(axis=(1, 2), keepdims=True)
+    route = jnp.where(m > 0, route_raw / jnp.maximum(m, 1e-6), route_raw)
+    route = jnp.swapaxes(route, 1, 2)[..., None]        # [B,144,256,1]
+    out = {k: v for k, v in batch.items()
+           if k not in ("rgb_u8", "route_u8")}
+    out["camera_rgb"] = rgb
+    out["route_fig"] = route
+    out["x"] = jnp.concatenate([rgb, route], axis=-1)
+    out["camera_seg"] = batch["camera_seg"].astype(jnp.int32)
+    return out
+
+
 class PerceptionDataLoader:
     """Epoch-shuffled host batching over .npz shards -> model-ready dicts.
 
     Yields: x [B,H,W,4] f32 (rgb/255 ++ route raster max-normalized),
     camera_seg [B,H,W] i32, route_fig [B,H,W,1] f32 target, speed [B,1],
     steer/throttle [B], command/light_state [B] i32, light_dist [B].
+
+    `packed=True` instead yields the uint8 wire format (rgb_u8/route_u8/
+    camera_seg u8 + f32 scalars) for `unpack_batch` to expand on device —
+    ~7x less host->device traffic.
     """
 
     def __init__(self, root_dir, batch_size: int = 48, seed: int = 0,
-                 augment: bool = False, drop_last: bool = True):
+                 augment: bool = False, drop_last: bool = True,
+                 cache_in_memory: bool = False, packed: bool = False):
         # accepts a shard directory or an explicit list of shard paths
         # (train/holdout splits reuse the same loader)
         if isinstance(root_dir, (list, tuple)):
@@ -131,6 +163,12 @@ class PerceptionDataLoader:
         self.batch_size = batch_size
         self.augment = augment
         self.drop_last = drop_last
+        self.packed = packed
+        # npz shards are zlib-compressed; on a one-core host the per-epoch
+        # decompression dominates the step time, so optionally keep each
+        # shard's raw arrays resident after first touch
+        self._cache: Optional[Dict[str, Dict[str, np.ndarray]]] = (
+            {} if cache_in_memory else None)
         self._rng = np.random.RandomState(seed)
         self._sizes = []
         for p in self.paths:
@@ -145,6 +183,19 @@ class PerceptionDataLoader:
         rgb = z["camera_rgb"][idx]
         if self.augment:
             rgb = _augment(rgb, self._rng)
+        if self.packed:
+            return {
+                "rgb_u8": np.clip(rgb, 0, 255).astype(np.uint8),
+                "route_u8": z["route_fig"][idx].astype(np.uint8),
+                "camera_seg": z["camera_seg"][idx].astype(np.uint8),
+                "speed": z["speed"][idx].astype(np.float32)[:, None],
+                "target_speed": z["target_speed"][idx].astype(np.float32),
+                "steer": z["steer"][idx].astype(np.float32),
+                "throttle": z["throttle"][idx].astype(np.float32),
+                "command": z["command"][idx].astype(np.int32),
+                "light_state": z["light_state"][idx].astype(np.int32),
+                "light_dist": z["light_dist"][idx].astype(np.float32),
+            }
         route_raw = z["route_fig"][idx].astype(np.float32)  # [B,256,144]
         m = route_raw.max(axis=(1, 2), keepdims=True)
         route = np.where(m > 0, route_raw / np.maximum(m, 1e-6), route_raw)
@@ -164,11 +215,22 @@ class PerceptionDataLoader:
             "light_dist": z["light_dist"][idx].astype(np.float32),
         }
 
+    @contextlib.contextmanager
+    def _shard(self, path: str):
+        if self._cache is None:
+            with np.load(path) as z:
+                yield z
+            return
+        if path not in self._cache:
+            with np.load(path) as z:
+                self._cache[path] = {k: z[k] for k in z.files}
+        yield self._cache[path]
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         shard_order = self._rng.permutation(len(self.paths))
         leftover: Optional[Dict[str, np.ndarray]] = None
         for si in shard_order:
-            with np.load(self.paths[si]) as z:
+            with self._shard(self.paths[si]) as z:
                 n = self._sizes[si]
                 order = self._rng.permutation(n)
                 start = 0

@@ -28,6 +28,7 @@ import optax
 
 from cadre_tpu.configs.danet_config import DANetParams, PerceptionTrainParams
 from cadre_tpu.models.danet import DANet, create_danet
+from cadre_tpu.perception.data import unpack_batch
 from cadre_tpu.perception.losses import total_danet_loss
 from cadre_tpu.utils import checkpoint as ckpt
 from cadre_tpu.utils.logger import logger
@@ -112,6 +113,7 @@ class PerceptionTrainer:
             {"params": params, "batch_stats": batch_stats}, *args, **kwargs)
 
     def _loss_fn(self, params, batch_stats, batch, rng):
+        batch = unpack_batch(batch)   # no-op unless packed wire format
         outputs, mutated = self._apply(params, batch_stats, batch, True, rng)
         total, losses = total_danet_loss(outputs, batch, self.cfg,
                                          self.seg_w, self.light_w)
@@ -128,6 +130,7 @@ class PerceptionTrainer:
         return params, new_stats, opt_state, losses
 
     def _eval_step_impl(self, params, batch_stats, batch):
+        batch = unpack_batch(batch)
         outputs = self._apply(params, batch_stats, batch, False)
         total, losses = total_danet_loss(outputs, batch, self.cfg,
                                          self.seg_w, self.light_w)
@@ -142,14 +145,19 @@ class PerceptionTrainer:
                 (pred == batch["light_state"]).astype(jnp.float32))
         return metrics
 
-    def train_step(self, batch: Dict[str, np.ndarray], rng: jax.Array
-                   ) -> Dict[str, float]:
+    def train_step(self, batch: Dict[str, np.ndarray], rng: jax.Array,
+                   sync: bool = True) -> Dict[str, float]:
+        """`sync=False` returns lazy device scalars instead of floats so the
+        epoch loop never blocks on per-step host fetches (each fetch is a
+        full round trip on a remote-TPU link)."""
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         params, stats, opt_state, losses = self._train_step(
             self.state.params, self.state.batch_stats, self.state.opt_state,
             batch, rng)
         self.state = TrainState(params, stats, opt_state,
                                 self.state.step + 1)
+        if not sync:
+            return losses
         return {k: float(v) for k, v in losses.items()}
 
     def eval_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
@@ -176,11 +184,11 @@ class PerceptionTrainer:
             batches = DevicePrefetcher(loader) if prefetch else loader
             for batch in batches:
                 rng, key = jax.random.split(rng)
-                losses = self.train_step(batch, key)
-                for k, v in losses.items():
+                losses = self.train_step(batch, key, sync=False)
+                for k, v in losses.items():   # lazy device adds, no fetch
                     agg[k] = agg.get(k, 0.0) + v
                 n += 1
-            last = {k: v / max(n, 1) for k, v in agg.items()}
+            last = {k: float(v) / max(n, 1) for k, v in agg.items()}
             fps = n * loader.batch_size / max(time.time() - t0, 1e-9)
             logger.log(f"perception epoch {epoch}: " + ", ".join(
                 f"{k}={v:.3f}" for k, v in last.items())
@@ -201,7 +209,8 @@ class PerceptionTrainer:
         from cadre_tpu.perception.visualize import dump_visualizations
 
         batch = next(iter(loader))
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        jb = unpack_batch({k: jnp.asarray(v) for k, v in batch.items()})
+        batch = jax.tree.map(np.asarray, jb)
         outputs = self._apply(self.state.params, self.state.batch_stats,
                               jb, False)
         dump_visualizations(batch, jax.tree.map(np.asarray, outputs),
@@ -230,6 +239,7 @@ class PerceptionTrainer:
         """
         if self._per_class_fn is None:
             def counts(params, stats, batch):
+                batch = unpack_batch(batch)
                 outputs = self._apply(params, stats, batch, False)
                 out: Dict[str, Any] = {}
                 if self.cfg.pred_camera_seg:

@@ -60,8 +60,10 @@ def phase_pretrain(args):
 
     paths = PerceptionDataLoader(args.data_dir, batch_size=args.batch).paths
     train_loader = PerceptionDataLoader(paths[:-1], batch_size=args.batch,
-                                        seed=args.seed, augment=True)
-    holdout = PerceptionDataLoader(paths[-1:], batch_size=args.batch)
+                                        seed=args.seed, augment=True,
+                                        cache_in_memory=True, packed=True)
+    holdout = PerceptionDataLoader(paths[-1:], batch_size=args.batch,
+                                   packed=True)
     stats = compute_stats(train_loader.paths)
     tp = PerceptionTrainParams(batch_size=args.batch,
                                max_epochs=args.epochs)

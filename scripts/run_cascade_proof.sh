@@ -4,13 +4,16 @@
 set -x
 export PATH=/opt/venv/bin:$PATH
 export PYTHONPATH=/root/repo:$PYTHONPATH
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 cd /root/repo
 W=${W:-/tmp/cascade_proof}
 mkdir -p "$W"
 LOG="$W/driver.log"
 {
   date
-  python scripts/cascade_proof.py collect  --work-dir "$W" --data-dir "$W/data" --frames 12000 || exit 1
+  if [ -z "$(ls "$W/data" 2>/dev/null)" ]; then
+    python scripts/cascade_proof.py collect --work-dir "$W" --data-dir "$W/data" --frames 12000 || exit 1
+  fi
   date
   python scripts/cascade_proof.py pretrain --work-dir "$W" --data-dir "$W/data" --epochs 20 || exit 1
   date

@@ -143,3 +143,39 @@ def test_per_class_evaluation(dataset_dir):
     # split-by-paths loader (the --holdout mechanism)
     split = PerceptionDataLoader(loader.paths[-1:], batch_size=8)
     assert split.paths == loader.paths[-1:]
+
+
+def test_packed_wire_format_matches_unpacked(dataset_dir):
+    """packed=True ships uint8 and unpack_batch reproduces the f32 batch."""
+    import jax.numpy as jnp
+
+    from cadre_tpu.perception.data import unpack_batch
+
+    a = PerceptionDataLoader(dataset_dir, batch_size=8, seed=7)
+    b = PerceptionDataLoader(dataset_dir, batch_size=8, seed=7, packed=True,
+                             cache_in_memory=True)
+    ba, bb = next(iter(a)), next(iter(b))
+    assert sum(v.nbytes for v in ba.values()) \
+        > 5 * sum(v.nbytes for v in bb.values())
+    ub = unpack_batch({k: jnp.asarray(v) for k, v in bb.items()})
+    np.testing.assert_allclose(np.asarray(ub["x"]), ba["x"], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ub["camera_seg"]),
+                                  ba["camera_seg"])
+    np.testing.assert_allclose(np.asarray(ub["route_fig"]), ba["route_fig"],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ub["speed"]), ba["speed"])
+    assert unpack_batch(ba) is ba          # no-op on unpacked batches
+
+
+def test_trainer_runs_on_packed_batches(dataset_dir):
+    loader = PerceptionDataLoader(dataset_dir, batch_size=8, seed=2,
+                                  packed=True, cache_in_memory=True)
+    tp = PerceptionTrainParams(batch_size=8, max_epochs=1, warmup_epochs=0)
+    trainer = PerceptionTrainer(SMALL, tp, steps_per_epoch=len(loader),
+                                rng=jax.random.PRNGKey(0))
+    out = trainer.solve(loader, epochs=1)
+    assert np.isfinite(out["total"])
+    metrics = trainer.evaluate(loader)
+    assert 0.0 <= metrics["seg_accuracy"] <= 1.0
+    rep = trainer.evaluate_per_class(loader)
+    assert rep["seg_counts"].sum() > 0
