@@ -102,57 +102,100 @@ def _worker_main(env_fn_bytes: bytes, obs_name: str, act_name: str,
 
 
 class ProcVecDrivingEnv:
+    """`max_respawns_per_worker > 0` adds elastic recovery: a worker that
+    dies or times out is terminated and respawned with fresh rings, and its
+    slot reports done=True ("worker restarted") so the trainer treats the
+    lost episode as a boundary. The reference has no equivalent — a dead
+    worker hangs its chief barrier forever (SURVEY §5.3)."""
+
     def __init__(self, env_fns: Sequence[Callable[[], Any]],
                  seq_length: int = 8, height: int = 144, width: int = 256,
-                 timeout_s: float = 120.0):
+                 timeout_s: float = 120.0, max_respawns_per_worker: int = 3):
         self.num_envs = len(env_fns)
         self._codec = _TickCodec(seq_length, height, width)
+        self._dims = (seq_length, height, width)
         self._timeout_ms = int(timeout_s * 1000)
+        self._env_fn_bytes = [pickle.dumps(fn) for fn in env_fns]
+        self._max_respawns = max_respawns_per_worker
+        self._respawns = [0] * self.num_envs
         self.episode_stats: List[Dict[str, Any]] = []
         self._episode_returns = np.zeros((self.num_envs, 2))
 
-        base = f"/cadre_{os.getpid()}_{int(time.time() * 1000) % 100_000}"
-        ctx = mp.get_context("spawn")
-        self._obs_rings: List[ShmRing] = []
-        self._act_rings: List[ShmRing] = []
-        self._procs: List[mp.Process] = []
-        for i, fn in enumerate(env_fns):
-            obs_name = f"{base}_obs{i}"
-            act_name = f"{base}_act{i}"
-            self._obs_rings.append(ShmRing(
-                obs_name, n_slots=2, frame_bytes=self._codec.frame_bytes,
-                create=True))
-            self._act_rings.append(ShmRing(
-                act_name, n_slots=2, frame_bytes=16, create=True))
-            p = ctx.Process(
-                target=_worker_main,
-                args=(pickle.dumps(fn), obs_name, act_name, seq_length,
-                      height, width),
-                daemon=True)
-            p.start()
-            self._procs.append(p)
+        self._base = f"/cadre_{os.getpid()}_{int(time.time() * 1000) % 100_000}"
+        self._ctx = mp.get_context("spawn")
+        self._gen = [0] * self.num_envs   # ring-name generation per worker
+        self._obs_rings: List[ShmRing] = [None] * self.num_envs
+        self._act_rings: List[ShmRing] = [None] * self.num_envs
+        self._procs: List[mp.Process] = [None] * self.num_envs
+        for i in range(self.num_envs):
+            self._spawn(i)
+
+    def _spawn(self, i: int) -> None:
+        seq, h, w = self._dims
+        obs_name = f"{self._base}_obs{i}g{self._gen[i]}"
+        act_name = f"{self._base}_act{i}g{self._gen[i]}"
+        self._obs_rings[i] = ShmRing(
+            obs_name, n_slots=2, frame_bytes=self._codec.frame_bytes,
+            create=True)
+        self._act_rings[i] = ShmRing(
+            act_name, n_slots=2, frame_bytes=16, create=True)
+        p = self._ctx.Process(
+            target=_worker_main,
+            args=(self._env_fn_bytes[i], obs_name, act_name, seq, h, w),
+            daemon=True)
+        p.start()
+        self._procs[i] = p
+
+    def _respawn(self, i: int):
+        """Kill worker i, bring up a replacement, and return its reset tick
+        (or None if the replacement also fails)."""
+        self._respawns[i] += 1
+        p = self._procs[i]
+        if p is not None and p.is_alive():
+            p.terminate()
+            p.join(timeout=5)
+        for ring in (self._obs_rings[i], self._act_rings[i]):
+            try:
+                ring.close()
+            except Exception:
+                pass
+        self._gen[i] += 1
+        self._spawn(i)
+        self._act_rings[i].write(struct.pack("<4f", _OP_RESET, 0, 0, 0))
+        buf = self._obs_rings[i].read(timeout_ms=self._timeout_ms)
+        return buf
 
     def _gather(self):
         ticks, rewards, dones, infos = [], [], [], []
-        for i, ring in enumerate(self._obs_rings):
-            buf = ring.read(timeout_ms=self._timeout_ms)
+        for i in range(self.num_envs):
+            buf = self._obs_rings[i].read(timeout_ms=self._timeout_ms)
+            restarted = False
+            while buf is None and self._respawns[i] < self._max_respawns:
+                restarted = True
+                buf = self._respawn(i)
             if buf is None:
-                raise TimeoutError(f"env worker {i} did not respond")
+                raise TimeoutError(
+                    f"env worker {i} did not respond "
+                    f"(after {self._respawns[i]} respawns)")
             tick, r, done, action_done, completion = self._codec.decode(buf)
+            if restarted:
+                # the in-flight episode is lost; surface a boundary
+                done, r, action_done = True, np.zeros(2, np.float32), (1, 1)
             self._episode_returns[i] += r
+            err = "worker restarted" if restarted else ""
             if done:
                 self.episode_stats.append({
                     "env": i,
                     "steer_return": float(self._episode_returns[i][0]),
                     "throttle_return": float(self._episode_returns[i][1]),
                     "completion": completion,
-                    "error_message": "",
+                    "error_message": err,
                 })
                 self._episode_returns[i] = 0.0
             ticks.append(tick)
             rewards.append(r)
             dones.append(done)
-            infos.append({"action_done": action_done, "error_message": ""})
+            infos.append({"action_done": action_done, "error_message": err})
         stacked = {
             "rgb": np.stack([t["rgb"] for t in ticks]),
             "route_fig": np.stack([t["route_fig"] for t in ticks]),

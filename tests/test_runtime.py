@@ -85,3 +85,59 @@ def test_proc_vec_env_fake():
         assert stats[0]["completion"] == 100.0
     finally:
         vec.close()
+
+
+class _CrashAfter:
+    """Env wrapper that hard-kills its worker process after N steps."""
+
+    def __init__(self, inner, crash_at):
+        self._inner = inner
+        self._crash_at = crash_at
+        self._n = 0
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def reset(self):
+        return self._inner.reset()
+
+    def step(self, control):
+        self._n += 1
+        if self._n == self._crash_at:
+            import os as _os
+
+            _os._exit(1)          # simulate a dead CARLA server / worker
+        return self._inner.step(control)
+
+
+def _make_crashy_env(seed, crash_at):
+    return _CrashAfter(_make_fake_env(seed), crash_at)
+
+
+def test_proc_vec_env_respawns_dead_worker():
+    """Elastic recovery: a killed worker is respawned and its slot reports
+    an episode boundary instead of hanging the barrier (the reference's
+    chief would wait forever, SURVEY §5.3)."""
+    import functools
+
+    from cadre_tpu.runtime.proc_vec_env import ProcVecDrivingEnv
+
+    vec = ProcVecDrivingEnv(
+        [functools.partial(_make_fake_env, 0),
+         functools.partial(_make_crashy_env, 1, 2)],
+        seq_length=3, height=64, width=96, timeout_s=6.0)
+    try:
+        vec.reset()
+        saw_restart = False
+        for _ in range(5):
+            tick, rewards, dones, infos = vec.step([[0.0, 0.5, 0.0]] * 2)
+            assert tick["rgb"].shape == (2, 3, 64, 96, 3)
+            if infos[1]["error_message"] == "worker restarted":
+                saw_restart = True
+                assert dones[1]
+        assert saw_restart
+        assert vec._respawns[1] >= 1
+        stats = vec.pop_episode_stats()
+        assert any(s["error_message"] == "worker restarted" for s in stats)
+    finally:
+        vec.close()
