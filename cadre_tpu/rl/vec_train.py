@@ -143,8 +143,10 @@ def train_vec(vec_env, agent: CadreAgent,
                 else:
                     feats, steer_out, throttle_out, hidden_new = \
                         agent.act_vec(tick, hidden, key)
-                steer_a = np.asarray(steer_out.action)
-                throttle_a = np.asarray(throttle_out.action)
+                # ONE host round trip for both action vectors (a remote
+                # device pays ~30 ms per fetch; two asarray = two trips)
+                steer_a, throttle_a = jax.device_get(
+                    (steer_out.action, throttle_out.action))
             controls = [convert_action(int(sa), int(ta))
                         for sa, ta in zip(steer_a, throttle_a)]
             with timer.phase("env"):
