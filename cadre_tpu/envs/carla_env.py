@@ -395,8 +395,13 @@ class CarlaDrivingEnv(BaseDrivingEnv):
         self.world.tick(self._timeout)
         self._on_world_tick()
 
-        # refresh light states from the server actors
+        # refresh light states from the server actors (frozen = forced by a
+        # scenario behavior; the force already went to the server, but skip
+        # the read-back so a slow server round trip can't flicker it)
         for info in self._light_infos:
+            if info.frozen is not None:
+                info.state = info.frozen
+                continue
             if info.actor is not None:
                 try:
                     name = str(info.actor.get_state()).rsplit(".", 1)[-1]

@@ -649,17 +649,15 @@ class ActorSinkBehavior(ScenarioBehavior):
 
 class TrafficLightStateSetterBehavior(ScenarioBehavior):
     """Atomic TrafficLightStateSetter (atomic_behaviors.py:1876-1914): force
-    one light to a state (frozen until reset_lights)."""
+    one light to a state (frozen until reset_lights), pushing to the
+    backing simulator light when one exists."""
 
     def __init__(self, light, state: str):
+        from cadre_tpu.envs.traffic_lights import force_actor_state
+
         light.frozen = state
-        actor = getattr(light, "actor", None)
-        if actor is not None:
-            try:
-                actor.set_state(state)
-                actor.freeze(True)
-            except RuntimeError:
-                pass
+        light.state = state
+        force_actor_state(light, state, freeze=True)
 
     def tick(self, env) -> bool:
         return False

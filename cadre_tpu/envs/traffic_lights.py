@@ -93,6 +93,31 @@ class StopSignInfo:
     yaw: float = 0.0              # bbox orientation (degrees)
 
 
+_FREEZE_TIMEOUT = 1e9
+
+
+def force_actor_state(light: TrafficLightInfo, state: str,
+                      freeze: bool = False) -> None:
+    """Push a forced state to the backing simulator light, the reference
+    way: set_state(enum) + huge phase times to freeze
+    (carla_data_provider.py:393-397). No-op for map-only sim lights."""
+    actor = light.actor
+    if actor is None:
+        return
+    try:
+        import importlib
+
+        carla = importlib.import_module("carla")
+        actor.set_state(getattr(carla.TrafficLightState,
+                                state.capitalize()))
+        if freeze:
+            actor.set_green_time(_FREEZE_TIMEOUT)
+            actor.set_red_time(_FREEZE_TIMEOUT)
+            actor.set_yellow_time(_FREEZE_TIMEOUT)
+    except (ImportError, RuntimeError, AttributeError):
+        pass
+
+
 def update_light_states(ego_light: TrafficLightInfo,
                         annotations: dict, states: dict,
                         freeze: bool = False) -> list:
@@ -100,24 +125,44 @@ def update_light_states(ego_light: TrafficLightInfo,
 
     `annotations` maps 'ref'/'opposite'/'left'/'right' -> [TrafficLightInfo];
     `states` maps 'ego' or a role -> state string. Returns reset params for
-    `reset_lights`.
+    `reset_lights`. Server-backed lights are forced on the simulator too.
     """
     reset_params = []
     for role, state in states.items():
         lights = [ego_light] if role == "ego" else annotations.get(role, [])
         for light in lights:
+            prev_times = None
+            if light.actor is not None:
+                try:
+                    prev_times = (light.actor.get_green_time(),
+                                  light.actor.get_red_time(),
+                                  light.actor.get_yellow_time())
+                except (RuntimeError, AttributeError):
+                    prev_times = None
             reset_params.append({"light": light, "state": light.state,
-                                 "frozen": light.frozen})
+                                 "frozen": light.frozen,
+                                 "times": prev_times})
             light.state = state
             if freeze:
                 light.frozen = state
+            force_actor_state(light, state, freeze=freeze)
     return reset_params
 
 
 def reset_lights(reset_params: list) -> None:
     for p in reset_params:
-        p["light"].state = p["state"]
-        p["light"].frozen = p["frozen"]
+        light = p["light"]
+        light.state = p["state"]
+        light.frozen = p["frozen"]
+        force_actor_state(light, p["state"])
+        if p.get("times") and light.actor is not None:
+            try:
+                g, r, y = p["times"]
+                light.actor.set_green_time(g)
+                light.actor.set_red_time(r)
+                light.actor.set_yellow_time(y)
+            except (RuntimeError, AttributeError):
+                pass
 
 
 def annotate_light_group(ref: TrafficLightInfo,

@@ -209,17 +209,17 @@ class TrafficLight(Actor):
     def set_green_time(self, t):
         self.times["green"] = t
 
-    def set_red_time(self, t):
-        self.times["red"] = t
-
-    def set_yellow_time(self, t):
-        self.times["yellow"] = t
-
     def get_green_time(self):
         return self.times.get("green", 10.0)
 
+    def set_red_time(self, t):
+        self.times["red"] = t
+
     def get_red_time(self):
         return self.times.get("red", 2.0)
+
+    def set_yellow_time(self, t):
+        self.times["yellow"] = t
 
     def get_yellow_time(self):
         return self.times.get("yellow", 3.0)

@@ -229,3 +229,45 @@ def test_route_completion_event(tmp_path, stub):
     assert TrafficEventType.ROUTE_COMPLETED in types
     assert env.completion_ratio == 100.0
     env.close()
+
+
+def test_light_state_setter_forces_server_light(tmp_path, stub):
+    """TrafficLightStateSetterBehavior must push the forced state to the
+    server actor (the reference forces server lights: set_state + huge
+    phase times, carla_data_provider.py:393-397) and the per-tick refresh
+    must not flicker a frozen light back."""
+    from cadre_tpu.envs.scenarios import TrafficLightStateSetterBehavior
+    from cadre_tpu.envs.traffic_lights import RED
+
+    env, world = _make_env(tmp_path, stub, junction_x=40.0, add_light=True)
+    env.reset()
+    assert env._light_infos, "stub light not annotated"
+    info = env._light_infos[0]
+    TrafficLightStateSetterBehavior(info, RED)
+    assert info.frozen == RED
+    assert str(info.actor.get_state()) == "Red"          # server forced
+    assert info.actor.get_green_time() > 1e6             # frozen via times
+    env.step([0.0, 0.5, 0.0])
+    assert info.state == RED                             # refresh respects
+
+
+def test_update_light_states_round_trip_on_server(tmp_path, stub):
+    from cadre_tpu.envs.traffic_lights import (
+        GREEN,
+        RED,
+        reset_lights,
+        update_light_states,
+    )
+
+    env, world = _make_env(tmp_path, stub, junction_x=40.0, add_light=True)
+    env.reset()
+    info = env._light_infos[0]
+    info.actor.set_green_time(7.0)
+    params = update_light_states(info, {}, {"ego": RED}, freeze=True)
+    assert str(info.actor.get_state()) == "Red"
+    assert info.actor.get_green_time() > 1e6
+    reset_lights(params)
+    assert info.frozen is None
+    assert info.actor.get_green_time() == 7.0            # times restored
+    assert str(info.actor.get_state()) == str(
+        getattr(sys.modules["carla"].TrafficLightState, GREEN.capitalize()))
