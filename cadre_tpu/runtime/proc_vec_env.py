@@ -162,13 +162,28 @@ class ProcVecDrivingEnv:
         self._gen[i] += 1
         self._spawn(i)
         self._act_rings[i].write(struct.pack("<4f", _OP_RESET, 0, 0, 0))
-        buf = self._obs_rings[i].read(timeout_ms=self._timeout_ms)
-        return buf
+        return self._read_obs(i)
+
+    def _read_obs(self, i: int):
+        """Ring read in 1 s slices, checking worker liveness between them:
+        a dead worker is detected in ~1 s instead of the full hang
+        timeout."""
+        deadline = time.time() + self._timeout_ms / 1000.0
+        while True:
+            remaining_ms = int((deadline - time.time()) * 1000)
+            if remaining_ms <= 0:
+                return None
+            buf = self._obs_rings[i].read(
+                timeout_ms=min(1000, remaining_ms))
+            if buf is not None:
+                return buf
+            if not self._procs[i].is_alive():
+                return None
 
     def _gather(self):
         ticks, rewards, dones, infos = [], [], [], []
         for i in range(self.num_envs):
-            buf = self._obs_rings[i].read(timeout_ms=self._timeout_ms)
+            buf = self._read_obs(i)
             restarted = False
             while buf is None and self._respawns[i] < self._max_respawns:
                 restarted = True

@@ -125,7 +125,7 @@ def test_proc_vec_env_respawns_dead_worker():
     vec = ProcVecDrivingEnv(
         [functools.partial(_make_fake_env, 0),
          functools.partial(_make_crashy_env, 1, 2)],
-        seq_length=3, height=64, width=96, timeout_s=6.0)
+        seq_length=3, height=64, width=96, timeout_s=30.0)
     try:
         vec.reset()
         saw_restart = False
