@@ -66,12 +66,19 @@ class PerceptionTrainer:
                  light_class_weight: Optional[np.ndarray] = None,
                  axis_name: Optional[str] = None,
                  dtype: Any = jnp.float32,
-                 model: Any = None):
+                 model: Any = None,
+                 device_augment: bool = False):
         """`model`: any flax module with the DANet forward contract
         (x, bc_speed?, train) -> heads dict — the zoo models
-        (VanillaVAE/BetaVAE/DABetaVAE) plug in here; default is DANet."""
+        (VanillaVAE/BetaVAE/DABetaVAE) plug in here; default is DANet.
+
+        `device_augment` applies the noise/pixel-dropout augmentation
+        (auto_basic_config.py:56-61) to the rgb channels inside the jitted
+        train step — the host-numpy version costs ~0.4 s/batch on a
+        one-core host; on device it fuses into the input pipeline."""
         self.cfg = cfg
         self.tp = tp
+        self.device_augment = device_augment
         if model is None:
             self.model, variables = create_danet(cfg, rng, train=True,
                                                  axis_name=axis_name)
@@ -112,8 +119,21 @@ class PerceptionTrainer:
         return self.model.apply(
             {"params": params, "batch_stats": batch_stats}, *args, **kwargs)
 
+    def _augment_on_device(self, batch, rng):
+        """Noise + coarse pixel dropout on the rgb channels of x
+        (auto_basic_config.py:56-61; recon/seg targets stay clean)."""
+        x = batch["x"]
+        rgb = x[..., :3]
+        k1, k2 = jax.random.split(jax.random.fold_in(rng, 1))
+        rgb = rgb + jax.random.normal(k1, rgb.shape) * (4.0 / 255.0)
+        keep = jax.random.uniform(k2, rgb.shape[:3] + (1,)) > 0.05
+        rgb = jnp.clip(rgb * keep, 0.0, 1.0)
+        return dict(batch, x=jnp.concatenate([rgb, x[..., 3:]], axis=-1))
+
     def _loss_fn(self, params, batch_stats, batch, rng):
         batch = unpack_batch(batch)   # no-op unless packed wire format
+        if self.device_augment:
+            batch = self._augment_on_device(batch, rng)
         outputs, mutated = self._apply(params, batch_stats, batch, True, rng)
         total, losses = total_danet_loss(outputs, batch, self.cfg,
                                          self.seg_w, self.light_w)

@@ -179,3 +179,24 @@ def test_trainer_runs_on_packed_batches(dataset_dir):
     assert 0.0 <= metrics["seg_accuracy"] <= 1.0
     rep = trainer.evaluate_per_class(loader)
     assert rep["seg_counts"].sum() > 0
+
+
+def test_device_augment_trains_and_perturbs(dataset_dir):
+    import jax.numpy as jnp
+
+    loader = PerceptionDataLoader(dataset_dir, batch_size=8, seed=3,
+                                  packed=True, cache_in_memory=True)
+    tp = PerceptionTrainParams(batch_size=8, max_epochs=1, warmup_epochs=0)
+    trainer = PerceptionTrainer(SMALL, tp, steps_per_epoch=len(loader),
+                                rng=jax.random.PRNGKey(0),
+                                device_augment=True)
+    out = trainer.solve(loader, epochs=1)
+    assert np.isfinite(out["total"])
+    # the augmentation perturbs rgb but leaves the route channel clean
+    from cadre_tpu.perception.data import unpack_batch
+
+    b = unpack_batch({k: jnp.asarray(v) for k, v in next(iter(loader)).items()})
+    aug = trainer._augment_on_device(b, jax.random.PRNGKey(7))
+    d_rgb = float(jnp.abs(aug["x"][..., :3] - b["x"][..., :3]).mean())
+    d_route = float(jnp.abs(aug["x"][..., 3:] - b["x"][..., 3:]).max())
+    assert d_rgb > 1e-4 and d_route == 0.0

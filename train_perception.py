@@ -70,8 +70,11 @@ def main():
         collect_dataset(env, OracleExpert(), args.collect, args.data_dir,
                         seed=args.seed)
 
+    # with the packed wire format, augmentation runs on device instead
+    # of in host numpy (PerceptionTrainer(device_augment=True))
+    host_augment = args.augment and not args.packed
     loader = PerceptionDataLoader(args.data_dir, batch_size=args.batch_size,
-                                  seed=args.seed, augment=args.augment,
+                                  seed=args.seed, augment=host_augment,
                                   packed=args.packed,
                                   cache_in_memory=args.cache)
     stats = compute_stats(loader.paths)
@@ -94,7 +97,7 @@ def main():
         rng=jax.random.PRNGKey(args.seed),
         seg_class_weight=stats.seg_class_weight,
         light_class_weight=stats.light_class_weight,
-        model=model)
+        model=model, device_augment=args.augment and args.packed)
     if args.resume:
         trainer.load(args.resume)
     holdout = None
@@ -104,7 +107,7 @@ def main():
             loader.paths[-1:], batch_size=args.batch_size, seed=args.seed)
         loader = PerceptionDataLoader(
             loader.paths[:-1], batch_size=args.batch_size, seed=args.seed,
-            augment=args.augment, packed=args.packed,
+            augment=host_augment, packed=args.packed,
             cache_in_memory=args.cache)
     trainer.solve(loader, epochs=args.epochs, work_dir=args.work_dir,
                   save_interval=args.save_interval)
