@@ -47,6 +47,8 @@ SLOW_TESTS = {
     "test_lbc.py::test_map_and_image_models",
     "test_runtime.py::test_proc_vec_env_fake",
     "test_train_loop.py::test_train_two_episodes_fake_env",
+    "test_perception.py::test_trainer_runs_on_packed_batches",
+    "test_perception.py::test_device_augment_trains_and_perturbs",
 }
 
 
