@@ -320,7 +320,8 @@ class PerceptionTrainer:
     def load(self, path: str) -> None:
         like = {"params": self.state.params,
                 "batch_stats": self.state.batch_stats}
-        tree = ckpt.load_pytree(path, like)
+        # device-commit once; numpy leaves re-upload on every jit dispatch
+        tree = jax.tree.map(jnp.asarray, ckpt.load_pytree(path, like))
         self.state = dataclasses.replace(
             self.state, params=tree["params"],
             batch_stats=tree["batch_stats"])

@@ -121,7 +121,14 @@ class CadreAgent:
         ppo_cfg = ppo_cfg or PPOConfig()
         k1, k2, k3 = jax.random.split(rng, 3)
         danet, fresh_vars = create_danet(danet_cfg, k1)
-        danet_vars = danet_vars if danet_vars is not None else fresh_vars
+        if danet_vars is not None:
+            # checkpoint loaders return host numpy pytrees; committing them
+            # to device ONCE here matters enormously on a remote-TPU link —
+            # numpy leaves are re-uploaded on EVERY jit dispatch (129 MB/tick
+            # for the production encoder ≈ 1.3 s/tick measured on the tunnel)
+            danet_vars = jax.tree.map(jnp.asarray, danet_vars)
+        else:
+            danet_vars = fresh_vars
         if bf16_encoder:
             from cadre_tpu.utils.precision import bf16_variables
 
@@ -262,6 +269,101 @@ class CadreAgent:
             commands, hidden, rng)
         return steer_out, throttle_out, hidden_s, feat_hist
 
+    # ------------- fused tick: store previous transition + act -------------
+
+    def _fused_tick_impl(self, params, danet_vars, hist, sbuf, tbuf, hidden,
+                         s_pend, t_pend, pend_cmd, rewards, s_mask, t_mask,
+                         store, rgb, route, meas, commands, rng, refresh):
+        """ONE program per tick. On a remote-TPU link every executed
+        program costs a full round trip (~0.4 s here), so the rollout
+        store of transition k rides inside the act dispatch of tick k+1:
+        store(pending_k with hist_k) -> encode newest frame -> shift ->
+        act. `refresh` (static) re-encodes the full frame window instead
+        (after env resets)."""
+        from cadre_tpu.rl.rollout import insert_batch
+
+        feats_prev = jnp.transpose(hist, (1, 0, 2))      # [N, T, F]
+
+        def do_store(bufs):
+            sb, tb = bufs
+            sb = insert_batch(sb, feats_prev, s_pend.action,
+                              s_pend.log_prob, s_pend.value, rewards[:, 0],
+                              s_mask, hidden, pend_cmd)
+            tb = insert_batch(tb, feats_prev, t_pend.action,
+                              t_pend.log_prob, t_pend.value, rewards[:, 1],
+                              t_mask, hidden, pend_cmd)
+            return sb, tb
+
+        sbuf, tbuf = jax.lax.cond(store, do_store, lambda b: b,
+                                  (sbuf, tbuf))
+        if refresh:
+            n, t = rgb.shape[0], rgb.shape[1]
+            x = preprocess_obs(rgb.reshape((n * t,) + rgb.shape[2:]),
+                               route.reshape((n * t,) + route.shape[2:]))
+            feats = latent_features(self.danet, danet_vars, x,
+                                    meas.reshape(n * t, -1))
+            hist = jnp.transpose(feats.reshape(n, t, -1), (1, 0, 2))
+        else:
+            new_feats = self._encode_last(danet_vars, rgb, route, meas)
+            hist = jnp.concatenate([hist[1:], new_feats[None]], axis=0)
+        souts, touts, hidden_s = self._act_from_hist(params, hist, commands,
+                                                     hidden, rng)
+        return souts, touts, hidden_s, hist, sbuf, tbuf
+
+    def zero_pending(self, num_envs: int):
+        """Placeholder pending outputs for the first tick (store=False)."""
+        from cadre_tpu.models.policy import PolicyOutput
+
+        def zeros(bank_def):
+            n = num_envs
+            return PolicyOutput(jnp.zeros((n,), jnp.int32), jnp.zeros((n,)),
+                                jnp.zeros((n,)),
+                                jnp.zeros((n, bank_def.num_outputs)))
+
+        return (zeros(self.steer_def), zeros(self.throttle_def),
+                jnp.zeros((num_envs,), jnp.int32),
+                jnp.zeros((num_envs, 2)), jnp.ones((num_envs,)),
+                jnp.ones((num_envs,)))
+
+    def act_vec_store(self, tick_batch, feat_hist, hidden, rng, steer_buf,
+                      throttle_buf, pending, store: bool,
+                      refresh: bool = False):
+        """Batched act + deferred rollout store in one dispatch.
+
+        pending: (steer PolicyOutput, throttle PolicyOutput, commands [N],
+        rewards [N,2], steer_mask [N], throttle_mask [N]) of the PREVIOUS
+        tick (zero_pending(n) with store=False on the first tick of an
+        iteration). Returns (steer_out, throttle_out, hidden', feat_hist',
+        steer_buf', throttle_buf')."""
+        if not hasattr(self, "_fused_tick_jit"):
+            self._fused_tick_jit = jax.jit(self._fused_tick_impl,
+                                           static_argnames=("refresh",))
+        s_pend, t_pend, pend_cmd, rewards, s_mask, t_mask = pending
+        if refresh or feat_hist is None:
+            if feat_hist is None:
+                t = np.asarray(tick_batch["rgb"]).shape[1]
+                n = np.asarray(tick_batch["rgb"]).shape[0]
+                feat_hist = jnp.zeros((t, n, self.obs_dim))
+            rgb = jnp.asarray(tick_batch["rgb"])
+            route = jnp.asarray(tick_batch["route_fig"])
+            meas = jnp.asarray(tick_batch["measurements"])
+            refresh = True
+        else:
+            rgb = jnp.asarray(tick_batch["rgb"][:, -1])
+            route = jnp.asarray(tick_batch["route_fig"][:, -1])
+            meas = jnp.asarray(tick_batch["measurements"][:, -1])
+        return self._fused_tick_jit(
+            self.params, self.danet_vars, feat_hist, steer_buf,
+            throttle_buf, hidden, s_pend, t_pend,
+            jnp.asarray(pend_cmd, jnp.int32),
+            jnp.asarray(rewards, jnp.float32),
+            jnp.asarray(s_mask, jnp.float32),
+            jnp.asarray(t_mask, jnp.float32),
+            jnp.asarray(bool(store)),
+            rgb, route, meas,
+            jnp.asarray(tick_batch["command"], jnp.int32), rng,
+            refresh=refresh)
+
     def _bootstrap_value(self, params, steer_obs, steer_cmd, throttle_obs,
                          throttle_cmd, hidden):
         """Next-state values for GAE bootstrap (agent.py:143-164).
@@ -320,15 +422,16 @@ class CadreAgent:
             ckpt.save_pytree(path + ".opt", self.opt_state)
 
     def load_snapshot(self, path: str, include_opt: bool = False):
-        self.params = ckpt.load_pytree(
+        # device-commit once; numpy leaves re-upload on every dispatch
+        self.params = jax.tree.map(jnp.asarray, ckpt.load_pytree(
             path, {"steer": self.params["steer"],
-                   "throttle": self.params["throttle"]})
+                   "throttle": self.params["throttle"]}))
         if include_opt:
             import os
 
             if os.path.exists(path + ".opt"):
-                self.opt_state = ckpt.load_pytree(path + ".opt",
-                                                  self.opt_state)
+                self.opt_state = jax.tree.map(jnp.asarray, ckpt.load_pytree(
+                    path + ".opt", self.opt_state))
 
 
 class EnsembleAgent:

@@ -182,6 +182,21 @@ def create_batched_rollout(num_steps: int, num_envs: int, seq_length: int,
     )
 
 
+def after_update_batched(buf: BatchedRollout,
+                         hidden=None) -> BatchedRollout:
+    """Reset the ring pointer between iterations (storage.py:60-66).
+
+    The reference DEFINES after_update but never calls it, so its write
+    pointer drifts by one row per episode (row t_steps written, GAE reading
+    a rotated window with one stale row). We keep the corrected semantics —
+    every iteration's transitions land at rows 0..t-1 in time order."""
+    hn_cn = {}
+    if hidden is not None:
+        hn, cn = hidden
+        hn_cn = dict(hn=buf.hn.at[0].set(hn), cn=buf.cn.at[0].set(cn))
+    return buf.replace(step=jnp.zeros((), jnp.int32), **hn_cn)
+
+
 def insert_batch(buf: BatchedRollout, obs, action, log_prob, value, reward,
                  mask, hidden, command) -> BatchedRollout:
     """Batched insert at the ring pointer; all args have leading [N]."""

@@ -24,6 +24,7 @@ from cadre_tpu.configs.agent_config import (
 from cadre_tpu.rl.agent import CadreAgent
 from cadre_tpu.rl.rollout import (
     BatchedRollout,
+    after_update_batched,
     batched_returns,
     create_batched_rollout,
     gather_minibatch_batched,
@@ -130,21 +131,28 @@ def train_vec(vec_env, agent: CadreAgent,
     for it in range(iterations):
         t0 = time.time()
         reward_sums = np.zeros(2)
+        pending = None        # previous tick's outputs, stored next dispatch
         for step in range(t_steps):
             rng, key = jax.random.split(rng)
-            commands = tick["command"]
+            commands = np.asarray(tick["command"], np.int32)
             with timer.phase("act"):
                 if incremental_features:
-                    steer_out, throttle_out, hidden_new, feat_hist = \
-                        agent.act_vec_incremental(tick, feat_hist, hidden,
-                                                  key, refresh=need_refresh)
+                    # fused tick: the store of transition k rides inside
+                    # the act dispatch of tick k+1 — one program execution
+                    # per tick (each execution is a full round trip on a
+                    # remote-TPU link)
+                    steer_out, throttle_out, hidden_new, feat_hist, \
+                        steer_buf, throttle_buf = agent.act_vec_store(
+                            tick, feat_hist, hidden, key, steer_buf,
+                            throttle_buf,
+                            pending or agent.zero_pending(n),
+                            store=pending is not None,
+                            refresh=need_refresh)
                     need_refresh = False
-                    feats = jnp.transpose(feat_hist, (1, 0, 2))
                 else:
                     feats, steer_out, throttle_out, hidden_new = \
                         agent.act_vec(tick, hidden, key)
-                # ONE host round trip for both action vectors (a remote
-                # device pays ~30 ms per fetch; two asarray = two trips)
+                # ONE host round trip for both action vectors
                 steer_a, throttle_a = jax.device_get(
                     (steer_out.action, throttle_out.action))
             controls = [convert_action(int(sa), int(ta))
@@ -159,22 +167,29 @@ def train_vec(vec_env, agent: CadreAgent,
                 [i["action_done"][1] for i in infos], np.float32)
             reward_sums += rewards.mean(0)
 
-            steer_buf, throttle_buf = store(
-                steer_buf, throttle_buf, feats, steer_out, throttle_out,
-                jnp.asarray(rewards, jnp.float32),
-                jnp.asarray(1.0 - steer_done),
-                jnp.asarray(1.0 - throttle_done),
-                hidden, jnp.asarray(commands, jnp.int32))
+            if incremental_features:
+                pending = (steer_out, throttle_out, commands,
+                           np.asarray(rewards, np.float32),
+                           1.0 - steer_done, 1.0 - throttle_done)
+            else:
+                steer_buf, throttle_buf = store(
+                    steer_buf, throttle_buf, feats, steer_out, throttle_out,
+                    jnp.asarray(rewards, jnp.float32),
+                    jnp.asarray(1.0 - steer_done),
+                    jnp.asarray(1.0 - throttle_done),
+                    hidden, jnp.asarray(commands, jnp.int32))
             # reference semantics: stale zero hidden carry (agent.py:38-40)
             if agent.update_hidden:
                 hidden = hidden_new
 
-        # bootstrap from the live post-rollout observation
+        # bootstrap from the live post-rollout observation; the same
+        # dispatch flushes the final pending transition into the buffers
         rng, key = jax.random.split(rng)
         if incremental_features:
-            steer_fin, throttle_fin, _, feat_hist = \
-                agent.act_vec_incremental(tick, feat_hist, hidden, key,
-                                          refresh=need_refresh)
+            steer_fin, throttle_fin, _, feat_hist, steer_buf, \
+                throttle_buf = agent.act_vec_store(
+                    tick, feat_hist, hidden, key, steer_buf, throttle_buf,
+                    pending, store=True, refresh=need_refresh)
             need_refresh = True  # history now includes the bootstrap frame
         else:
             _, steer_fin, throttle_fin, _ = agent.act_vec(tick, hidden, key)
@@ -185,8 +200,8 @@ def train_vec(vec_env, agent: CadreAgent,
                 agent.params, agent.opt_state, aux = fused_fn(
                     agent.params, agent.opt_state, steer_buf, throttle_buf,
                     (steer_fin.value, throttle_fin.value), key)
-                vl, pl, el = (float(aux.value_loss), float(aux.action_loss),
-                              float(aux.entropy_loss))
+                vl, pl, el = map(float, jax.device_get(
+                    (aux.value_loss, aux.action_loss, aux.entropy_loss)))
         else:
             s_ret, s_adv = batched_returns(steer_buf, steer_fin.value,
                                            rollout_cfg.gamma, rollout_cfg.tau)
@@ -222,6 +237,12 @@ def train_vec(vec_env, agent: CadreAgent,
                             losses.append(agent.update_policy(s_mb, t_mb))
             vl, pl, el = [float(np.mean([l[i] for l in losses]))
                           for i in range(3)]
+
+        # reset ring pointers so next iteration's rows land at 0..t-1
+        # (the reference defines but never calls after_update — see
+        # rollout.after_update_batched)
+        steer_buf = after_update_batched(steer_buf)
+        throttle_buf = after_update_batched(throttle_buf)
 
         dt = time.time() - t0
         eps = vec_env.pop_episode_stats()

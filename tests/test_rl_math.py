@@ -273,3 +273,33 @@ def test_transformer_memory_bank():
     gnorm = sum(float(jnp.abs(g).sum())
                 for g in jax.tree_util.tree_leaves(grads))
     assert gnorm > 0
+
+
+def test_batched_ring_pointer_resets_between_iterations():
+    """The vec path must reset its ring pointer each iteration: the
+    reference defines but never calls after_update (storage.py:60-66), so
+    its rows drift by one per episode — we keep corrected semantics."""
+    from cadre_tpu.rl.rollout import (
+        after_update_batched,
+        create_batched_rollout,
+        insert_batch,
+    )
+
+    t, n, seq, f = 4, 2, 3, 5
+    buf = create_batched_rollout(t, n, seq, f)
+    zeros = dict(
+        obs=jnp.zeros((n, seq, f)), action=jnp.zeros((n,), jnp.int32),
+        log_prob=jnp.zeros((n,)), value=jnp.zeros((n,)),
+        mask=jnp.ones((n,)),
+        hidden=(jnp.zeros((n, f)), jnp.zeros((n, f))),
+        command=jnp.zeros((n,), jnp.int32))
+    for k in range(t):
+        buf = insert_batch(buf, reward=jnp.full((n,), float(k)), **zeros)
+    assert int(buf.step) == t            # pointer past the last row
+    buf = after_update_batched(buf)
+    assert int(buf.step) == 0
+    # second iteration lands at rows 0..t-1 again, in time order
+    for k in range(t):
+        buf = insert_batch(buf, reward=jnp.full((n,), 10.0 + k), **zeros)
+    np.testing.assert_allclose(np.asarray(buf.reward[:t, 0]),
+                               [10.0, 11.0, 12.0, 13.0])

@@ -124,3 +124,82 @@ def test_incremental_features_match_full_recompute():
         np.testing.assert_allclose(
             np.asarray(jnp.transpose(feat_hist, (1, 0, 2))),
             np.asarray(full_feats), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_tick_matches_incremental_plus_store():
+    """The deferred-store fused tick (agent.act_vec_store) must produce
+    bit-identical actions AND rollout buffers to the prior two-dispatch
+    path (act_vec_incremental + insert_batch). (The incremental encoder
+    itself differs from full-window recompute by ~3e-3 in values — an
+    XLA batch-shape numeric, present since round 1 — so the comparison
+    target is the incremental path, not act_vec.)"""
+    from cadre_tpu.rl.rollout import create_batched_rollout, insert_batch
+
+    def mkenv():
+        return VecDrivingEnv([
+            (lambda k=k: FakeDrivingEnv(episode_length=12, seq_length=3,
+                                        height=64, width=96, seed=k))
+            for k in range(2)])
+
+    agent = CadreAgent.create(jax.random.PRNGKey(0), danet_cfg=SMALL)
+    n, t_steps, seq, f = 2, 6, 3, agent.obs_dim
+    hidden = (jnp.zeros((n, f)), jnp.zeros((n, f)))
+    rng = jax.random.PRNGKey(7)
+    controls = [[0.0, 0.5, 0.0]] * n
+
+    # reference run: old incremental act + separate store dispatch
+    env = mkenv()
+    tick = env.reset()
+    sb0 = create_batched_rollout(t_steps, n, seq, f)
+    tb0 = create_batched_rollout(t_steps, n, seq, f)
+    r, hist, need, acts0 = rng, None, True, []
+    for step in range(t_steps):
+        r, key = jax.random.split(r)
+        so, to_, _, hist = agent.act_vec_incremental(tick, hist, hidden,
+                                                     key, refresh=need)
+        need = False
+        acts0.append(np.asarray(so.action))
+        feats = jnp.transpose(hist, (1, 0, 2))
+        cmds = jnp.asarray(tick["command"], jnp.int32)
+        tick, rewards, dones, infos = env.step(controls)
+        if np.any(dones):
+            need = True
+        sb0 = insert_batch(sb0, feats, so.action, so.log_prob, so.value,
+                           jnp.asarray(rewards[:, 0]), jnp.ones((n,)),
+                           hidden, cmds)
+        tb0 = insert_batch(tb0, feats, to_.action, to_.log_prob, to_.value,
+                           jnp.asarray(rewards[:, 1]), jnp.ones((n,)),
+                           hidden, cmds)
+
+    # fused run: same seeds, deferred store inside the act dispatch
+    env = mkenv()
+    tick = env.reset()
+    sb1 = create_batched_rollout(t_steps, n, seq, f)
+    tb1 = create_batched_rollout(t_steps, n, seq, f)
+    r, hist, need, pend, acts1 = rng, None, True, None, []
+    for step in range(t_steps):
+        r, key = jax.random.split(r)
+        so, to_, _, hist, sb1, tb1 = agent.act_vec_store(
+            tick, hist, hidden, key, sb1, tb1,
+            pend or agent.zero_pending(n), store=pend is not None,
+            refresh=need)
+        need = False
+        acts1.append(np.asarray(so.action))
+        cmds = np.asarray(tick["command"], np.int32)
+        tick, rewards, dones, infos = env.step(controls)
+        if np.any(dones):
+            need = True
+        pend = (so, to_, cmds, np.asarray(rewards, np.float32),
+                np.ones(n, np.float32), np.ones(n, np.float32))
+    # flush the final pending transition (the bootstrap dispatch's role)
+    r, key = jax.random.split(r)
+    _, _, _, hist, sb1, tb1 = agent.act_vec_store(
+        tick, hist, hidden, key, sb1, tb1, pend, store=True, refresh=need)
+
+    np.testing.assert_array_equal(np.stack(acts0), np.stack(acts1))
+    for a, b in zip(jax.tree_util.tree_leaves((sb0, tb0)),
+                    jax.tree_util.tree_leaves((sb1, tb1))):
+        if np.asarray(a).dtype == np.int32 and np.asarray(a).ndim == 0:
+            continue                      # ring pointers advance differently
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
