@@ -464,5 +464,7 @@ class EnsembleAgent:
             jnp.asarray(tick_data["measurements"]),
             jnp.asarray(tick_data["command"], jnp.int32),
             self.agent.hidden_state, rngs)
-        return [(int(out.steer_action[i]), int(out.throttle_action[i]))
-                for i in range(self.k)]
+        # ONE host round trip for all K members (2K int() fetches would pay
+        # 2K tunnel round trips per tick)
+        sa, ta = jax.device_get((out.steer_action, out.throttle_action))
+        return [(int(sa[i]), int(ta[i])) for i in range(self.k)]
