@@ -1,0 +1,107 @@
+"""Assemble the cascade-proof results (VERDICT round-1 items 2 + 8) into
+BENCH_r2_cascade.json.
+
+Reads the work dir produced by scripts/run_cascade_proof.sh /
+scripts/cascade_proof.py: driver.log (HOLDOUT + ENSEMBLE lines),
+trained.jsonl / random.jsonl training curves — and emits one artifact with
+the pretrain quality, both completion curves, the ensemble eval protocol
+results, and the trained-minus-random gap.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+
+import numpy as np
+
+
+def read_curve(path):
+    if not os.path.exists(path):
+        return None
+    rows = [json.loads(line) for line in open(path)]
+    comp = np.array([r["mean_completion"] for r in rows
+                     if r["episodes_finished"] > 0])
+    k = max(1, len(comp) // 3)
+    return {
+        "iterations": len(rows),
+        "env_steps": int(sum(r["env_steps"] for r in rows)),
+        "median_env_steps_per_sec": float(np.median(
+            [r["env_steps_per_sec"] for r in rows[1:]])) if len(rows) > 1
+        else None,
+        "completion_curve": [round(float(r["mean_completion"]), 2)
+                             for r in rows],
+        "episodes_finished": int(sum(r["episodes_finished"] for r in rows)),
+        "final_third_completion_mean": float(comp[-k:].mean())
+        if len(comp) else 0.0,
+        "final_third_completion_std": float(comp[-k:].std())
+        if len(comp) else 0.0,
+        "best_completion": float(comp.max()) if len(comp) else 0.0,
+    }
+
+
+def scan_log(log_paths):
+    holdout, ensembles = None, {}
+    for lp in log_paths:
+        if not os.path.exists(lp):
+            continue
+        for line in open(lp, errors="replace"):
+            m = re.match(r"HOLDOUT (\{.*\})", line.strip())
+            if m:
+                holdout = json.loads(m.group(1))
+            m = re.match(r"ENSEMBLE (\{.*\})", line.strip())
+            if m:
+                rec = json.loads(m.group(1))
+                ensembles[rec["arm"]] = rec
+    return holdout, ensembles
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--work-dir", default="/tmp/cascade_proof")
+    p.add_argument("--out", default="BENCH_r2_cascade.json")
+    args = p.parse_args()
+    w = args.work_dir
+    holdout, ensembles = scan_log(
+        [os.path.join(w, "driver.log"), os.path.join(w, "driver.log.1")])
+    trained = read_curve(os.path.join(w, "trained.jsonl"))
+    random_ = read_curve(os.path.join(w, "random.jsonl"))
+    out = {
+        "experiment": "cascade proof: trained frozen CoPM encoder vs random "
+                      "frozen encoder, same PPO config (VERDICT r1 item 2)",
+        "protocol": {
+            "pretrain": "12k expert frames, 20 epochs, held-out shard "
+                        "per-class eval",
+            "rl": "8 SimDrivingEnvs (camera-only hazards), 120 iterations "
+                  "x 200 steps, fused PPO updates, frozen encoder",
+            "eval": "8-checkpoint vmapped ensemble, 25 episodes with "
+                    "traffic (eval_agent_config.py:51-57 protocol), "
+                    "driving score penalty table",
+        },
+        "pretrain_holdout": holdout,
+        "trained_arm": trained,
+        "random_arm": random_,
+        "ensemble_eval": ensembles,
+    }
+    if trained and random_:
+        out["gap_final_third_completion"] = round(
+            trained["final_third_completion_mean"]
+            - random_["final_third_completion_mean"], 2)
+    if {"trained", "random"} <= set(ensembles):
+        out["gap_ensemble_completion"] = round(
+            ensembles["trained"]["mean_completion"]
+            - ensembles["random"]["mean_completion"], 2)
+        out["gap_ensemble_driving_score"] = round(
+            ensembles["trained"]["mean_driving_score"]
+            - ensembles["random"]["mean_driving_score"], 2)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items()
+                      if not isinstance(v, dict) or k == "ensemble_eval"},
+                     indent=1))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
