@@ -19,10 +19,16 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import faulthandler
 import json
 import os
+import signal
 
 import numpy as np
+
+# `kill -USR1 <pid>` dumps all thread stacks to stderr — the remote-TPU
+# tunnel can wedge a dispatch, and this is the only stack tool in the image
+faulthandler.register(signal.SIGUSR1)
 
 
 def make_sim_env(rank: int, seed: int):

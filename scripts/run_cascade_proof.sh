@@ -4,6 +4,7 @@
 set -x
 export PATH=/opt/venv/bin:$PATH
 export PYTHONPATH=/root/repo:$PYTHONPATH
+export PYTHONUNBUFFERED=1
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 cd /root/repo
 W=${W:-/tmp/cascade_proof}
