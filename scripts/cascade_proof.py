@@ -117,8 +117,11 @@ def phase_rl(args):
                          for k in range(args.num_envs)])
     rollout = RolloutConfig(num_steps=args.num_steps,
                             feature_dims=agent.obs_dim)
+    # save every ~iterations/24 so the last-8 ensemble covers only the final
+    # third of training — the reference evals late checkpoints (episodes
+    # 2400-2900 of 3000, eval_agent_config.py:55), not the whole history
     train_cfg = TrainConfig(max_episode=args.iterations, log_interval=5,
-                            save_interval=max(1, args.iterations // 8))
+                            save_interval=max(1, args.iterations // 24))
     os.makedirs(args.work_dir, exist_ok=True)
     log_path = os.path.join(args.work_dir, f"{args.arm}.jsonl")
     f = open(log_path, "a")
