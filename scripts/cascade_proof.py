@@ -31,13 +31,30 @@ import numpy as np
 faulthandler.register(signal.SIGUSR1)
 
 
-def make_sim_env(rank: int, seed: int):
+def make_sim_env(rank: int, seed: int, blind_route: bool = False,
+                 **env_kwargs):
     from cadre_tpu.envs.sim_env import SimDrivingEnv
 
+    if blind_route:
+        # VERDICT r1 item 2's stronger variant: zero the privileged route
+        # measurements (dis, theta) in the POLICY observation, so route
+        # geometry is only discoverable through the camera/route-fig ->
+        # encoder path. Reward/termination still use the true dis/theta
+        # internally; only the obs the agent sees is masked.
+        class BlindRouteSim(SimDrivingEnv):
+            def _assemble_tick(self):
+                raw = super()._assemble_tick()
+                m = raw["last_measurements"]
+                raw["last_measurements"] = [m[0], 0.0, 0.0]
+                return raw
+
+        cls = BlindRouteSim
+    else:
+        cls = SimDrivingEnv
     # obstacles on/near the route: vehicles parked in-lane + wandering
     # walkers; the camera is the only obs channel that sees them
-    return SimDrivingEnv(seed=seed + rank, vehicle_num=(6, 6),
-                         randomize_weather=True, rank=rank)
+    return cls(seed=seed + rank, vehicle_num=(6, 6),
+               randomize_weather=True, rank=rank, **env_kwargs)
 
 
 def phase_collect(args):
@@ -113,7 +130,8 @@ def phase_rl(args):
     agent = CadreAgent.create(jax.random.PRNGKey(args.seed),
                               danet_cfg=cfg, danet_vars=danet_vars)
 
-    vec = VecDrivingEnv([functools.partial(make_sim_env, k, args.seed)
+    vec = VecDrivingEnv([functools.partial(make_sim_env, k, args.seed,
+                                           blind_route=args.blind_route)
                          for k in range(args.num_envs)])
     rollout = RolloutConfig(num_steps=args.num_steps,
                             feature_dims=agent.obs_dim)
@@ -147,7 +165,6 @@ def phase_eval(args):
     import jax
 
     from cadre_tpu.configs.agent_config import EvalConfig
-    from cadre_tpu.envs.sim_env import SimDrivingEnv
     from cadre_tpu.rl.agent import CadreAgent
     from cadre_tpu.rl.evaluate import evaluate
     from cadre_tpu.utils.checkpoint import load_danet_checkpoint
@@ -166,9 +183,9 @@ def phase_eval(args):
     snaps = models[-8:]                        # last 8 checkpoints
     print(f"ensemble over {len(snaps)} checkpoints: "
           f"{[os.path.basename(s) for s in snaps]}")
-    env = SimDrivingEnv(seed=args.seed + 99, vehicle_num=(6, 6),
-                        training=False, randomize_weather=True,
-                        work_dir=os.path.join(args.work_dir, "eval"))
+    env = make_sim_env(99, args.seed, blind_route=args.blind_route,
+                       training=False,
+                       work_dir=os.path.join(args.work_dir, "eval"))
     results = evaluate(env, agent, snaps,
                        EvalConfig(eval_episode=args.episodes),
                        seed=args.seed, max_steps=args.max_steps)
@@ -221,6 +238,10 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--arm", choices=["trained", "random"], default="trained")
+    p.add_argument("--blind-route", action="store_true",
+                   help="zero the privileged (dis, theta) measurements in "
+                        "the policy obs; route geometry then flows only "
+                        "through the camera/route-fig -> encoder path")
     p.add_argument("--encoder", default="/tmp/cascade_proof/encoder.msgpack")
     p.add_argument("--num-envs", type=int, default=8)
     p.add_argument("--num-steps", type=int, default=200)
