@@ -415,14 +415,27 @@ def lights_at_route_corners(keypoints: np.ndarray, dense: np.ndarray,
 def nearest_light_ahead(lights: Sequence[TrafficLightInfo],
                         pos: np.ndarray, fwd: np.ndarray,
                         max_dist: float = 25.0):
-    """(state_class, distance) of the nearest light ahead in the ego's
-    half-plane — ground truth for the perception light head. Returns
-    (0, -1.0) when no light is visible."""
+    """(state_class, distance) of the nearest light inside the ego camera's
+    90-degree frustum — ground truth for the perception light head. Returns
+    (0, -1.0) when no light is visible.
+
+    The frustum test (forward >= 1.5 m and |lateral| <= forward, matching
+    the synthetic camera's FOV and near plane) keeps the labels consistent
+    with what the camera can actually see: a light 80 degrees off-axis is
+    never rendered, and labeling it poisons the light head with
+    unlearnable targets. This also approximates CARLA's "affecting light"
+    semantics (the light governing the ego's lane is ahead of the ego by
+    construction)."""
+    pos = np.asarray(pos, float)
+    f = np.asarray(fwd, float)
+    f = f / max(float(np.hypot(*f)), 1e-9)
+    left = np.array([-f[1], f[0]])
     best, best_d = None, max_dist
     for light in lights:
-        rel = np.asarray(light.center, float) - np.asarray(pos, float)
+        rel = np.asarray(light.center, float) - pos
         d = float(np.hypot(*rel))
-        if d > best_d or float(rel @ fwd) <= 0:
+        xf = float(rel @ f)
+        if d > best_d or xf < 1.5 or abs(float(rel @ left)) > xf:
             continue
         best, best_d = light, d
     if best is None:

@@ -197,6 +197,35 @@ def test_lights_at_route_corners_and_nearest():
     assert cls == 0 and dist == -1.0
 
 
+def test_nearest_light_frustum_consistency():
+    """Labels must match camera visibility: a light outside the 90-degree
+    frustum (or inside the near plane) is 'none' even when it is within
+    range in the forward half-plane."""
+    lights = [_light(center=(5.0, 20.0))]   # 80 deg off-axis, 20.6 m away
+    lights[0].state = RED
+    cls, dist = nearest_light_ahead(lights, np.array([0.0, 0.0]),
+                                    np.array([1.0, 0.0]))
+    assert cls == 0 and dist == -1.0
+    # same light rotated into view (45 deg boundary is inclusive)
+    cls, dist = nearest_light_ahead(lights, np.array([0.0, 0.0]),
+                                    np.array([0.0, 1.0]))
+    assert cls == 3
+    # inside the near plane (< 1.5 m forward) -> not renderable -> none
+    near = [_light(center=(1.0, 0.0))]
+    near[0].state = RED
+    cls, dist = nearest_light_ahead(near, np.array([0.0, 0.0]),
+                                    np.array([1.0, 0.0]))
+    assert cls == 0 and dist == -1.0
+    # normalization: an unnormalized fwd vector gives the same answer
+    seen = [_light(center=(10.0, 3.0))]
+    seen[0].state = YELLOW
+    a = nearest_light_ahead(seen, np.array([0.0, 0.0]),
+                            np.array([1.0, 0.0]))
+    b = nearest_light_ahead(seen, np.array([0.0, 0.0]),
+                            np.array([3.0, 0.0]))
+    assert a == b and a[0] == 2
+
+
 def test_sim_env_emits_red_light_infraction():
     from cadre_tpu.envs.sim_env import SimDrivingEnv
 
