@@ -87,3 +87,22 @@ def test_single_vs_distributed_aux_finite(mesh8):
                             shard_minibatch(mesh8, _mk_mb(jax.random.PRNGKey(5), 3)))
     for x in aux:
         assert np.isfinite(float(x))
+
+
+def test_multihost_helpers_single_host():
+    """initialize_multihost must no-op cleanly on a single host (the
+    reference's NCCL env:// init is likewise skipped when WORLD_SIZE is
+    unset, experiments_builder.py:99-101) and is_chief matches process 0."""
+    import os
+
+    from cadre_tpu.parallel.multihost import initialize_multihost, is_chief
+
+    for var in ("JAX_COORDINATOR", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID",
+                "TPU_WORKER_HOSTNAMES"):
+        assert os.environ.get(var) is None or var == "JAX_PROCESS_ID"
+    assert initialize_multihost() is False
+    assert is_chief() is True
+
+    # explicit-but-unreachable coordinator must not raise — it either
+    # refuses (returns False) or the backend rejects it internally
+    assert initialize_multihost(num_processes=0) is False
