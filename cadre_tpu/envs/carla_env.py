@@ -230,8 +230,15 @@ class CarlaDrivingEnv(BaseDrivingEnv):
             self.provider.set_all_light_times()
             self._light_infos = self.provider.get_light_infos(to_plane)
             self._stop_infos = self.provider.get_stop_sign_infos(to_plane)
+            # behaviors operate in WORLD meters (the frame of self._pos /
+            # self._yaw / spawn_scenario_actor); give them a world-frame
+            # twin of the light records — same backing actors, so state
+            # forcing is visible through both views
+            self._light_infos_world = self.provider.get_light_infos(
+                lambda loc: np.array([loc.x, loc.y]))
         except (RuntimeError, AttributeError):
             self._light_infos, self._stop_infos = [], []
+            self._light_infos_world = []
 
         veh_extent = 2.45
         try:

@@ -62,104 +62,6 @@ class ScenarioBehavior:
         raise NotImplementedError
 
 
-class ControlLossBehavior(ScenarioBehavior):
-    """Scenario1: inject steering noise pulses (control_loss.py)."""
-
-    def __init__(self, rng: np.random.RandomState, duration: int = 25):
-        self._rng = rng
-        self._remaining = duration
-
-    def tick(self, env) -> bool:
-        env._control_noise = float(self._rng.uniform(-0.25, 0.25))
-        self._remaining -= 1
-        if self._remaining <= 0:
-            env._control_noise = 0.0
-            return False
-        return True
-
-
-class LeadingVehicleBehavior(ScenarioBehavior):
-    """Scenario2/5: slow vehicle ahead following the route."""
-
-    def __init__(self, env, speed: float = 3.0, gap: float = 15.0):
-        route = env._route_xy
-        # place the leader `gap` meters ahead of the ego along the route
-        d = np.hypot(route[:, 0] - env._pos[0], route[:, 1] - env._pos[1])
-        i0 = int(np.argmin(d))
-        idx = min(i0 + int(gap), len(route) - 1)
-        self._ob = env.spawn_scenario_actor("vehicle", route[idx],
-                                            speed=speed)
-        self._ob.managed = True
-        self._route = route
-        self._i = idx
-
-    def tick(self, env) -> bool:
-        # advance along the route at the behavior speed
-        if self._i >= len(self._route) - 1:
-            return False
-        step = self._ob.speed * env.dt
-        nxt = self._route[min(self._i + 1, len(self._route) - 1)]
-        d = nxt - self._ob.pos
-        dist = float(np.hypot(*d))
-        if dist < step:
-            self._i += 1
-        else:
-            self._ob.pos = self._ob.pos + d / max(dist, 1e-6) * step
-        return True
-
-
-class CrossingBehavior(ScenarioBehavior):
-    """Scenario3/4: object crosses the route ahead of the ego
-    (object_crash_vehicle.py DynamicObjectCrossing)."""
-
-    def __init__(self, env, kind: str = "walker", ahead: float = 12.0,
-                 lateral: float = 8.0, speed: float = 1.6):
-        yaw = math.radians(env._yaw)
-        fwd = np.array([math.cos(yaw), math.sin(yaw)])
-        left = np.array([-fwd[1], fwd[0]])
-        start = env._pos + fwd * ahead + left * lateral
-        heading = math.atan2(-left[1], -left[0])
-        self._ob = env.spawn_scenario_actor(kind, start, heading=heading,
-                                            speed=speed)
-        self._ob.managed = True
-        self._travel = 2 * lateral
-
-    def tick(self, env) -> bool:
-        step = self._ob.speed * env.dt
-        self._ob.pos = self._ob.pos + step * np.array(
-            [math.cos(self._ob.heading), math.sin(self._ob.heading)])
-        self._travel -= step
-        return self._travel > 0
-
-
-class OppositeVehicleBehavior(ScenarioBehavior):
-    """Scenario6/7-10: vehicle approaching against the ego's direction."""
-
-    def __init__(self, env, ahead: float = 30.0, speed: float = 6.0,
-                 lateral: float = 1.5):
-        yaw = math.radians(env._yaw)
-        fwd = np.array([math.cos(yaw), math.sin(yaw)])
-        left = np.array([-fwd[1], fwd[0]])
-        start = env._pos + fwd * ahead + left * lateral
-        self._ob = env.spawn_scenario_actor(
-            "vehicle", start, heading=math.atan2(-fwd[1], -fwd[0]),
-            speed=speed)
-        self._ob.managed = True
-        self._life = int(2 * ahead / max(speed * env.dt, 1e-6))
-
-    def tick(self, env) -> bool:
-        step = self._ob.speed * env.dt
-        self._ob.pos = self._ob.pos + step * np.array(
-            [math.cos(self._ob.heading), math.sin(self._ob.heading)])
-        self._life -= 1
-        return self._life > 0
-
-
-def _advance(ob, dt: float) -> None:
-    ob.pos = ob.pos + ob.speed * dt * np.array(
-        [math.cos(ob.heading), math.sin(ob.heading)])
-
-
 class OwnedActorBehavior(ScenarioBehavior):
     """Base for atomic behaviors that integrate a shared actor handle.
 
@@ -177,6 +79,126 @@ class OwnedActorBehavior(ScenarioBehavior):
 
     def _owned(self) -> bool:
         return getattr(self._ob, "_owner", self) is self
+
+    def _release(self) -> None:
+        """Hand the actor back to the env's integrator on finish: a
+        released actor with a velocity keeps moving (CARLA actors persist
+        after their behavior subtree completes) instead of freezing
+        managed-but-ownerless."""
+        if getattr(self._ob, "_owner", None) is self:
+            self._ob._owner = None
+            self._ob.managed = False
+
+    def tick(self, env) -> bool:
+        if not self._owned():
+            return False
+        alive = self._tick_owned(env)
+        if not alive:
+            self._release()
+        return alive
+
+    def _tick_owned(self, env) -> bool:  # pragma: no cover
+        raise NotImplementedError
+
+
+class ControlLossBehavior(ScenarioBehavior):
+    """Scenario1: inject steering noise pulses (control_loss.py)."""
+
+    def __init__(self, rng: np.random.RandomState, duration: int = 25):
+        self._rng = rng
+        self._remaining = duration
+
+    def tick(self, env) -> bool:
+        env._control_noise = float(self._rng.uniform(-0.25, 0.25))
+        self._remaining -= 1
+        if self._remaining <= 0:
+            env._control_noise = 0.0
+            return False
+        return True
+
+
+class LeadingVehicleBehavior(OwnedActorBehavior):
+    """Scenario2/5: slow vehicle ahead following the route."""
+
+    def __init__(self, env, speed: float = 3.0, gap: float = 15.0):
+        route = env._route_xy
+        # place the leader `gap` meters ahead of the ego along the route
+        d = np.hypot(route[:, 0] - env._pos[0], route[:, 1] - env._pos[1])
+        i0 = int(np.argmin(d))
+        idx = min(i0 + int(gap), len(route) - 1)
+        self._own(env.spawn_scenario_actor("vehicle", route[idx],
+                                           speed=speed))
+        self._route = route
+        self._i = idx
+
+    def _tick_owned(self, env) -> bool:
+        # advance along the route at the behavior speed
+        if self._i >= len(self._route) - 1:
+            return False
+        step = self._ob.speed * env.dt
+        nxt = self._route[min(self._i + 1, len(self._route) - 1)]
+        d = nxt - self._ob.pos
+        dist = float(np.hypot(*d))
+        if dist < step:
+            self._i += 1
+        else:
+            self._ob.pos = self._ob.pos + d / max(dist, 1e-6) * step
+        return True
+
+
+class CrossingBehavior(OwnedActorBehavior):
+    """Scenario3/4: object crosses the route ahead of the ego
+    (object_crash_vehicle.py DynamicObjectCrossing)."""
+
+    def __init__(self, env, kind: str = "walker", ahead: float = 12.0,
+                 lateral: float = 8.0, speed: float = 1.6):
+        yaw = math.radians(env._yaw)
+        fwd = np.array([math.cos(yaw), math.sin(yaw)])
+        left = np.array([-fwd[1], fwd[0]])
+        start = env._pos + fwd * ahead + left * lateral
+        heading = math.atan2(-left[1], -left[0])
+        self._own(env.spawn_scenario_actor(kind, start, heading=heading,
+                                           speed=speed))
+        self._travel = 2 * lateral
+
+    def _tick_owned(self, env) -> bool:
+        step = self._ob.speed * env.dt
+        self._ob.pos = self._ob.pos + step * np.array(
+            [math.cos(self._ob.heading), math.sin(self._ob.heading)])
+        self._travel -= step
+        if self._travel <= 0:
+            # crossing complete: the adversary stops at the far side (the
+            # reference destroys it, object_crash_vehicle.py end behavior)
+            self._ob.speed = 0.0
+            return False
+        return True
+
+
+class OppositeVehicleBehavior(OwnedActorBehavior):
+    """Scenario6/7-10: vehicle approaching against the ego's direction."""
+
+    def __init__(self, env, ahead: float = 30.0, speed: float = 6.0,
+                 lateral: float = 1.5):
+        yaw = math.radians(env._yaw)
+        fwd = np.array([math.cos(yaw), math.sin(yaw)])
+        left = np.array([-fwd[1], fwd[0]])
+        start = env._pos + fwd * ahead + left * lateral
+        self._own(env.spawn_scenario_actor(
+            "vehicle", start, heading=math.atan2(-fwd[1], -fwd[0]),
+            speed=speed))
+        self._life = int(2 * ahead / max(speed * env.dt, 1e-6))
+
+    def _tick_owned(self, env) -> bool:
+        step = self._ob.speed * env.dt
+        self._ob.pos = self._ob.pos + step * np.array(
+            [math.cos(self._ob.heading), math.sin(self._ob.heading)])
+        self._life -= 1
+        return self._life > 0
+
+
+def _advance(ob, dt: float) -> None:
+    ob.pos = ob.pos + ob.speed * dt * np.array(
+        [math.cos(ob.heading), math.sin(ob.heading)])
 
 
 class IdleBehavior(ScenarioBehavior):
@@ -199,9 +221,7 @@ class KeepVelocityBehavior(OwnedActorBehavior):
         self._ob.speed = speed
         self._travel = distance
 
-    def tick(self, env) -> bool:
-        if not self._owned():
-            return False
+    def _tick_owned(self, env) -> bool:
         _advance(self._ob, env.dt)
         self._travel -= self._ob.speed * env.dt
         return self._travel > 0
@@ -218,9 +238,7 @@ class LaneChangeBehavior(OwnedActorBehavior):
         # lateral direction: left of the actor's heading
         self._left = np.array([-math.sin(ob.heading), math.cos(ob.heading)])
 
-    def tick(self, env) -> bool:
-        if not self._owned():
-            return False
+    def _tick_owned(self, env) -> bool:
         _advance(self._ob, env.dt)
         self._ob.pos = self._ob.pos + self._left * self._rate
         self._remaining -= 1
@@ -238,9 +256,7 @@ class AccelerateToCatchUpBehavior(OwnedActorBehavior):
         self._inc = throttle_inc
         self._gap = trigger_gap
 
-    def tick(self, env) -> bool:
-        if not self._owned():
-            return False
+    def _tick_owned(self, env) -> bool:
         self._ob.speed = min(self._max, self._ob.speed + self._inc)
         _advance(self._ob, env.dt)
         fwd = np.array([math.cos(math.radians(env._yaw)),
@@ -261,9 +277,7 @@ class SyncArrivalBehavior(OwnedActorBehavior):
         d = self._target - ob.pos
         self._ob.heading = math.atan2(d[1], d[0])
 
-    def tick(self, env) -> bool:
-        if not self._owned():
-            return False
+    def _tick_owned(self, env) -> bool:
         d_actor = float(np.hypot(*(self._target - self._ob.pos)))
         if d_actor < 1.0:
             return False
@@ -286,9 +300,7 @@ class WaypointFollowerBehavior(OwnedActorBehavior):
         self._wps = np.asarray(waypoints, float)
         self._i = 0
 
-    def tick(self, env) -> bool:
-        if not self._owned():
-            return False
+    def _tick_owned(self, env) -> bool:
         if self._i >= len(self._wps):
             return False
         step = self._ob.speed * env.dt
@@ -345,9 +357,7 @@ class VehicleTurningBehavior(OwnedActorBehavior):
                          env._pos + fwd * (ahead + 4.0) - left * lateral]
         self._leg = 0
 
-    def tick(self, env) -> bool:
-        if not self._owned():
-            return False
+    def _tick_owned(self, env) -> bool:
         while self._leg < len(self._targets):
             d = self._targets[self._leg] - self._ob.pos
             dist = float(np.hypot(*d))
@@ -393,8 +403,12 @@ class SignalJunctionBehavior(ScenarioBehavior):
         fwd = np.array([math.cos(yaw), math.sin(yaw)])
         left = np.array([-fwd[1], fwd[0]])
 
+        # use lights in the same frame as env._pos/_yaw: sim lights live in
+        # world space already; CarlaDrivingEnv keeps a world-frame twin of
+        # its (GPS-plane) criteria records for exactly this purpose
         lights = list(getattr(env, "_lights", None)
-                      or getattr(env, "_light_infos", []) or [])
+                      or getattr(env, "_light_infos_world", None)
+                      or [])
         self._ego_light = None
         self._ann = None
         self._params = []
@@ -404,7 +418,9 @@ class SignalJunctionBehavior(ScenarioBehavior):
                      if float((tl.center - env._pos) @ fwd) > 0]
             ahead = [x for x in ahead if x[0] < 60.0]
             if ahead:
-                self._ego_light = min(ahead)[1]
+                # key= keeps ties from falling through to TrafficLightInfo
+                # dataclass __eq__ (ndarray fields -> ambiguous truth value)
+                self._ego_light = min(ahead, key=lambda x: x[0])[1]
                 group = [tl for tl in lights if float(np.hypot(
                     *(tl.center - self._ego_light.center))) < 40.0]
                 self._ann = annotate_light_group(self._ego_light, group)
@@ -495,9 +511,7 @@ class AccelerateToVelocityBehavior(OwnedActorBehavior):
         self._target = target_velocity
         self._inc = throttle_inc
 
-    def tick(self, env) -> bool:
-        if not self._owned():
-            return False
+    def _tick_owned(self, env) -> bool:
         self._ob.speed = min(self._target, self._ob.speed + self._inc)
         _advance(self._ob, env.dt)
         return self._ob.speed < self._target
@@ -511,9 +525,7 @@ class StopVehicleBehavior(OwnedActorBehavior):
         self._own(ob)
         self._decel = brake_decel
 
-    def tick(self, env) -> bool:
-        if not self._owned():
-            return False
+    def _tick_owned(self, env) -> bool:
         self._ob.speed = max(0.0, self._ob.speed - self._decel * env.dt)
         _advance(self._ob, env.dt)
         return self._ob.speed > 1e-3
@@ -534,7 +546,11 @@ class HandBrakeVehicleBehavior(ScenarioBehavior):
         self._remaining -= 1
         if self._remaining <= 0:
             self._ob.speed = self._saved_speed
-            self._ob.managed = False
+            # managed reflects CURRENT ownership truth, not the pre-brake
+            # value: another behavior may still own (and advance) the actor,
+            # and forcing managed=False would re-enable the env integrator
+            # on top of it (the double-advance bug the flag exists to stop)
+            self._ob.managed = getattr(self._ob, "_owner", None) is not None
             return False
         return True
 
@@ -703,9 +719,7 @@ class BasicAgentBehavior(OwnedActorBehavior):
         self._ob.speed = speed
         self._target = np.asarray(target, float)
 
-    def tick(self, env) -> bool:
-        if not self._owned():
-            return False
+    def _tick_owned(self, env) -> bool:
         d = self._target - self._ob.pos
         dist = float(np.hypot(*d))
         if dist < 1.0:

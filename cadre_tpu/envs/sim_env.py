@@ -271,9 +271,13 @@ class SimDrivingEnv(BaseDrivingEnv):
                             math.sin(math.radians(self._yaw))])
         self._pos = self._pos + heading * self._speed * self.dt
 
-        # walkers wander (behavior-managed actors advance themselves)
+        # unmanaged actors with a velocity integrate themselves — wandering
+        # walkers, and vehicles released by a finished/one-shot behavior
+        # (SetInitSpeed, ChangeAutoPilot, a completed LaneChange); behavior-
+        # managed actors advance inside their owner's tick instead
         for ob in self._obstacles:
-            if ob.kind == "walker" and ob.speed > 0 and not ob.managed:
+            if ob.kind in ("walker", "vehicle") and ob.speed > 0 \
+                    and not ob.managed:
                 ob.pos = ob.pos + ob.speed * self.dt * np.array(
                     [math.cos(ob.heading), math.sin(ob.heading)])
 

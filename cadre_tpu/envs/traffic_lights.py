@@ -169,7 +169,13 @@ def annotate_light_group(ref: TrafficLightInfo,
                          group: Sequence[TrafficLightInfo]) -> dict:
     """Classify a junction's lights relative to `ref` by approach heading
     (carla_data_provider.py:309-342): yaw diff >330 skip, >225 right,
-    >135 opposite, >30 left."""
+    >135 opposite, >30 left.
+
+    Deliberate reference parity: a SAME-direction head that is not `ref`
+    itself (diff <= 30 or > 330) joins no group — the reference's
+    annotate_trafficlight_in_group drops it identically (only id == ref.id
+    lands in 'ref'), so dual-lane parallel heads are never force-set
+    there either."""
     out = {"ref": [ref], "opposite": [], "left": [], "right": []}
     if not ref.stop_lines:
         return out

@@ -273,7 +273,8 @@ class CadreAgent:
 
     def _fused_tick_impl(self, params, danet_vars, hist, sbuf, tbuf, hidden,
                          s_pend, t_pend, pend_cmd, rewards, s_mask, t_mask,
-                         store, rgb, route, meas, commands, rng, refresh):
+                         pend_hidden, store, rgb, route, meas, commands, rng,
+                         refresh):
         """ONE program per tick. On a remote-TPU link every executed
         program costs a full round trip (~0.4 s here), so the rollout
         store of transition k rides inside the act dispatch of tick k+1:
@@ -285,13 +286,18 @@ class CadreAgent:
         feats_prev = jnp.transpose(hist, (1, 0, 2))      # [N, T, F]
 
         def do_store(bufs):
+            # pend_hidden is the carry that was INPUT to the pending tick's
+            # act — with update_hidden=True the loop's current `hidden` has
+            # already advanced one step past it (the immediate-store path
+            # records the pre-act carry, and update_policy re-unrolls the
+            # LSTM from the stored value)
             sb, tb = bufs
             sb = insert_batch(sb, feats_prev, s_pend.action,
                               s_pend.log_prob, s_pend.value, rewards[:, 0],
-                              s_mask, hidden, pend_cmd)
+                              s_mask, pend_hidden, pend_cmd)
             tb = insert_batch(tb, feats_prev, t_pend.action,
                               t_pend.log_prob, t_pend.value, rewards[:, 1],
-                              t_mask, hidden, pend_cmd)
+                              t_mask, pend_hidden, pend_cmd)
             return sb, tb
 
         sbuf, tbuf = jax.lax.cond(store, do_store, lambda b: b,
@@ -320,10 +326,12 @@ class CadreAgent:
                                 jnp.zeros((n,)),
                                 jnp.zeros((n, bank_def.num_outputs)))
 
+        f = self.obs_dim
         return (zeros(self.steer_def), zeros(self.throttle_def),
                 jnp.zeros((num_envs,), jnp.int32),
                 jnp.zeros((num_envs, 2)), jnp.ones((num_envs,)),
-                jnp.ones((num_envs,)))
+                jnp.ones((num_envs,)),
+                (jnp.zeros((num_envs, f)), jnp.zeros((num_envs, f))))
 
     def act_vec_store(self, tick_batch, feat_hist, hidden, rng, steer_buf,
                       throttle_buf, pending, store: bool,
@@ -331,14 +339,15 @@ class CadreAgent:
         """Batched act + deferred rollout store in one dispatch.
 
         pending: (steer PolicyOutput, throttle PolicyOutput, commands [N],
-        rewards [N,2], steer_mask [N], throttle_mask [N]) of the PREVIOUS
-        tick (zero_pending(n) with store=False on the first tick of an
-        iteration). Returns (steer_out, throttle_out, hidden', feat_hist',
-        steer_buf', throttle_buf')."""
+        rewards [N,2], steer_mask [N], throttle_mask [N], act-input hidden
+        (h [N,F], c [N,F])) of the PREVIOUS tick (zero_pending(n) with
+        store=False on the first tick of an iteration). Returns (steer_out,
+        throttle_out, hidden', feat_hist', steer_buf', throttle_buf')."""
         if not hasattr(self, "_fused_tick_jit"):
             self._fused_tick_jit = jax.jit(self._fused_tick_impl,
                                            static_argnames=("refresh",))
-        s_pend, t_pend, pend_cmd, rewards, s_mask, t_mask = pending
+        s_pend, t_pend, pend_cmd, rewards, s_mask, t_mask, pend_hidden = \
+            pending
         if refresh or feat_hist is None:
             if feat_hist is None:
                 t = np.asarray(tick_batch["rgb"]).shape[1]
@@ -359,6 +368,7 @@ class CadreAgent:
             jnp.asarray(rewards, jnp.float32),
             jnp.asarray(s_mask, jnp.float32),
             jnp.asarray(t_mask, jnp.float32),
+            pend_hidden,
             jnp.asarray(bool(store)),
             rgb, route, meas,
             jnp.asarray(tick_batch["command"], jnp.int32), rng,

@@ -168,9 +168,12 @@ def train_vec(vec_env, agent: CadreAgent,
             reward_sums += rewards.mean(0)
 
             if incremental_features:
+                # `hidden` is still this tick's act-INPUT carry here (the
+                # update_hidden advance happens below); the deferred store
+                # must record it, not the post-act carry
                 pending = (steer_out, throttle_out, commands,
                            np.asarray(rewards, np.float32),
-                           1.0 - steer_done, 1.0 - throttle_done)
+                           1.0 - steer_done, 1.0 - throttle_done, hidden)
             else:
                 steer_buf, throttle_buf = store(
                     steer_buf, throttle_buf, feats, steer_out, throttle_out,

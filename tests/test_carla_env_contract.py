@@ -271,3 +271,33 @@ def test_update_light_states_round_trip_on_server(tmp_path, stub):
     assert info.actor.get_green_time() == 7.0            # times restored
     assert str(info.actor.get_state()) == str(
         getattr(sys.modules["carla"].TrafficLightState, GREEN.capitalize()))
+
+
+def test_signal_junction_forces_server_light_world_frame(tmp_path, stub):
+    """SignalJunctionBehavior must locate the ego's light in WORLD meters
+    (the frame of env._pos/_yaw) — the GPS-plane criteria records live in a
+    shifted frame where the 'ahead' test can never match — then force the
+    INT_CONF phase-1 states on the server actor (Scenario7-9 semantics)."""
+    scen = _scenario_json(tmp_path, "Scenario7", 20.0, 0.0)
+    env, world = _make_env(tmp_path, stub, scenario_file=scen,
+                           junction_x=60.0, add_light=True)
+    env.reset()
+    assert env._light_infos_world, "world-frame light records must exist"
+    light_actor = world.get_actors().filter("*traffic_light*")[0]
+
+    beh = None
+    for _ in range(300):
+        tick, rewards, done, info = env.step([0.0, 0.2, 0.0])
+        active = env._scenario_manager.active if env._scenario_manager \
+            else []
+        for b in active:
+            if b.__class__.__name__ == "SignalJunctionBehavior":
+                beh = b
+        if beh is not None or done:
+            break
+    assert beh is not None, "Scenario7 behavior never fired"
+    assert beh._ego_light is not None, \
+        "ego light not found — behavior frame mismatch"
+    # INT_CONF phase 1: the ego approach is forced red on the SERVER actor
+    assert "Red" in str(light_actor.get_state())
+    env.close()

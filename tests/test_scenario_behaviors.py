@@ -395,3 +395,67 @@ def test_basic_agent_drives_to_target():
         if not beh.tick(env):
             break
     assert float(np.hypot(*(ob.pos - target))) < 1.5
+
+
+def test_released_vehicle_keeps_integrating():
+    """A finished owned behavior releases its actor back to the env
+    integrator: the vehicle continues at its speed instead of freezing
+    (CARLA actors persist after their behavior subtree completes)."""
+    env = _env(lights=False)
+    ob = env.spawn_scenario_actor("vehicle", env._pos + np.array([20.0, 0.0]),
+                                  heading=0.0, speed=5.0)
+    beh = KeepVelocityBehavior(ob, speed=5.0, distance=1.0)  # finishes fast
+    assert ob.managed
+    while beh.tick(env):
+        pass
+    assert not ob.managed and getattr(ob, "_owner", None) is None
+    p0 = ob.pos.copy()
+    for _ in range(5):
+        env.step([0.0, 0.0, 1.0])
+    moved = float(np.hypot(*(ob.pos - p0)))
+    assert moved > 5 * 5.0 * env.dt * 0.9, \
+        "released vehicle must self-integrate at its speed"
+
+
+def test_lane_change_steal_then_release_continues_motion():
+    """OSC semantics: a LaneChangeAction stealing an init-speed entity must
+    not freeze it after the lane change completes."""
+    from cadre_tpu.envs.scenarios import LaneChangeBehavior
+
+    env = _env(lights=False)
+    ob = env.spawn_scenario_actor("vehicle", env._pos + np.array([15.0, 0.0]),
+                                  heading=0.0, speed=4.0)
+    keep = KeepVelocityBehavior(ob, speed=4.0, distance=float("inf"))
+    lane = LaneChangeBehavior(ob, offset=3.5, duration=5)
+    assert keep.tick(env) is False          # ownership stolen
+    while lane.tick(env):
+        pass
+    assert not ob.managed                   # released on completion
+    p0 = ob.pos.copy()
+    for _ in range(4):
+        env.step([0.0, 0.0, 1.0])
+    assert float(np.hypot(*(ob.pos - p0))) > 4 * 4.0 * env.dt * 0.9
+
+
+def test_handbrake_restores_ownership_truth():
+    """HandBrake on an owned actor must NOT force managed=False on expiry
+    (that re-enables the env integrator on top of the owner)."""
+    from cadre_tpu.envs.scenarios import HandBrakeVehicleBehavior
+
+    env = _env(lights=False)
+    ob = env.spawn_scenario_actor("walker", env._pos + np.array([10.0, 3.0]),
+                                  heading=math.pi / 2, speed=1.5)
+    keep = KeepVelocityBehavior(ob, speed=1.5, distance=float("inf"))
+    hb = HandBrakeVehicleBehavior(ob, duration=3)
+    while hb.tick(env):
+        pass
+    assert ob.managed, "owner still holds the actor after handbrake expiry"
+    assert ob.speed == 1.5
+    # and an unowned actor is handed back to the integrator
+    ob2 = env.spawn_scenario_actor("walker", env._pos + np.array([10.0, -3.0]),
+                                   heading=0.0, speed=1.0)
+    ob2.managed = False
+    hb2 = HandBrakeVehicleBehavior(ob2, duration=2)
+    while hb2.tick(env):
+        pass
+    assert not ob2.managed

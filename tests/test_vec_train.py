@@ -147,16 +147,19 @@ def test_fused_tick_matches_incremental_plus_store():
     rng = jax.random.PRNGKey(7)
     controls = [[0.0, 0.5, 0.0]] * n
 
-    # reference run: old incremental act + separate store dispatch
+    # reference run: old incremental act + separate store dispatch. The
+    # hidden carry ADVANCES each tick (update_hidden=True semantics): the
+    # store must record the pre-act carry of each transition, which the
+    # deferred-store path has to thread through `pending`.
     env = mkenv()
     tick = env.reset()
     sb0 = create_batched_rollout(t_steps, n, seq, f)
     tb0 = create_batched_rollout(t_steps, n, seq, f)
-    r, hist, need, acts0 = rng, None, True, []
+    r, hist, need, acts0, hid = rng, None, True, [], hidden
     for step in range(t_steps):
         r, key = jax.random.split(r)
-        so, to_, _, hist = agent.act_vec_incremental(tick, hist, hidden,
-                                                     key, refresh=need)
+        so, to_, hid_new, hist = agent.act_vec_incremental(tick, hist, hid,
+                                                           key, refresh=need)
         need = False
         acts0.append(np.asarray(so.action))
         feats = jnp.transpose(hist, (1, 0, 2))
@@ -166,21 +169,22 @@ def test_fused_tick_matches_incremental_plus_store():
             need = True
         sb0 = insert_batch(sb0, feats, so.action, so.log_prob, so.value,
                            jnp.asarray(rewards[:, 0]), jnp.ones((n,)),
-                           hidden, cmds)
+                           hid, cmds)
         tb0 = insert_batch(tb0, feats, to_.action, to_.log_prob, to_.value,
                            jnp.asarray(rewards[:, 1]), jnp.ones((n,)),
-                           hidden, cmds)
+                           hid, cmds)
+        hid = hid_new
 
     # fused run: same seeds, deferred store inside the act dispatch
     env = mkenv()
     tick = env.reset()
     sb1 = create_batched_rollout(t_steps, n, seq, f)
     tb1 = create_batched_rollout(t_steps, n, seq, f)
-    r, hist, need, pend, acts1 = rng, None, True, None, []
+    r, hist, need, pend, acts1, hid = rng, None, True, None, [], hidden
     for step in range(t_steps):
         r, key = jax.random.split(r)
-        so, to_, _, hist, sb1, tb1 = agent.act_vec_store(
-            tick, hist, hidden, key, sb1, tb1,
+        so, to_, hid_new, hist, sb1, tb1 = agent.act_vec_store(
+            tick, hist, hid, key, sb1, tb1,
             pend or agent.zero_pending(n), store=pend is not None,
             refresh=need)
         need = False
@@ -190,11 +194,12 @@ def test_fused_tick_matches_incremental_plus_store():
         if np.any(dones):
             need = True
         pend = (so, to_, cmds, np.asarray(rewards, np.float32),
-                np.ones(n, np.float32), np.ones(n, np.float32))
+                np.ones(n, np.float32), np.ones(n, np.float32), hid)
+        hid = hid_new
     # flush the final pending transition (the bootstrap dispatch's role)
     r, key = jax.random.split(r)
     _, _, _, hist, sb1, tb1 = agent.act_vec_store(
-        tick, hist, hidden, key, sb1, tb1, pend, store=True, refresh=need)
+        tick, hist, hid, key, sb1, tb1, pend, store=True, refresh=need)
 
     np.testing.assert_array_equal(np.stack(acts0), np.stack(acts1))
     for a, b in zip(jax.tree_util.tree_leaves((sb0, tb0)),

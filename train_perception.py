@@ -73,7 +73,15 @@ def main():
     # with the packed wire format, augmentation runs on device instead
     # of in host numpy (PerceptionTrainer(device_augment=True))
     host_augment = args.augment and not args.packed
-    loader = PerceptionDataLoader(args.data_dir, batch_size=args.batch_size,
+    all_paths = PerceptionDataLoader(args.data_dir,
+                                     batch_size=args.batch_size).paths
+    # split the holdout shard FIRST: class-weight stats and the LR
+    # schedule's steps_per_epoch must come from the training shards only
+    holdout_paths = None
+    train_paths = all_paths
+    if args.holdout and len(all_paths) > 1:
+        holdout_paths, train_paths = all_paths[-1:], all_paths[:-1]
+    loader = PerceptionDataLoader(train_paths, batch_size=args.batch_size,
                                   seed=args.seed, augment=host_augment,
                                   packed=args.packed,
                                   cache_in_memory=args.cache)
@@ -101,14 +109,10 @@ def main():
     if args.resume:
         trainer.load(args.resume)
     holdout = None
-    if args.holdout and len(loader.paths) > 1:
+    if holdout_paths:
         # last shard held out for the test_route-style per-class report
         holdout = PerceptionDataLoader(
-            loader.paths[-1:], batch_size=args.batch_size, seed=args.seed)
-        loader = PerceptionDataLoader(
-            loader.paths[:-1], batch_size=args.batch_size, seed=args.seed,
-            augment=host_augment, packed=args.packed,
-            cache_in_memory=args.cache)
+            holdout_paths, batch_size=args.batch_size, seed=args.seed)
     trainer.solve(loader, epochs=args.epochs, work_dir=args.work_dir,
                   save_interval=args.save_interval)
     if holdout is not None:
