@@ -61,20 +61,33 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--work-dir", default="/tmp/cascade_proof")
     p.add_argument("--out", default="BENCH_r2_cascade.json")
+    p.add_argument("--extra-log", default=None,
+                   help="additional driver.log to scan (e.g. the pretrain "
+                        "log when the RL arms ran in a different work dir)")
+    p.add_argument("--blind", action="store_true",
+                   help="label the artifact as the blind-route variant "
+                        "(privileged dis/theta masked from the policy obs)")
     args = p.parse_args()
     w = args.work_dir
-    holdout, ensembles = scan_log(
-        [os.path.join(w, "driver.log"), os.path.join(w, "driver.log.1")])
+    logs = [os.path.join(w, "driver.log"), os.path.join(w, "driver.log.1")]
+    if args.extra_log:
+        logs.append(args.extra_log)
+    holdout, ensembles = scan_log(logs)
     trained = read_curve(os.path.join(w, "trained.jsonl"))
     random_ = read_curve(os.path.join(w, "random.jsonl"))
+    variant = "BLIND-ROUTE (dis/theta masked from the policy obs; route " \
+        "geometry only reaches the policy through the camera/route-fig -> " \
+        "encoder path)" if args.blind else "base protocol"
     out = {
         "experiment": "cascade proof: trained frozen CoPM encoder vs random "
-                      "frozen encoder, same PPO config (VERDICT r1 item 2)",
+                      "frozen encoder, same PPO config (VERDICT r1 item 2) "
+                      f"— {variant}",
         "protocol": {
             "pretrain": "12k expert frames, 20 epochs, held-out shard "
                         "per-class eval",
             "rl": "8 SimDrivingEnvs (camera-only hazards), 120 iterations "
-                  "x 200 steps, fused PPO updates, frozen encoder",
+                  "x 200 steps, fused PPO updates, frozen encoder"
+                  + (", blind-route obs" if args.blind else ""),
             "eval": "8-checkpoint vmapped ensemble, 25 episodes with "
                     "traffic (eval_agent_config.py:51-57 protocol), "
                     "driving score penalty table",
