@@ -27,16 +27,41 @@ FIELDS = ("camera_rgb", "camera_seg", "route_fig", "speed", "target_speed",
 
 
 def collect_dataset(env, expert, n_frames: int, out_dir: str,
-                    shard_size: int = 512, seed: int = 0) -> List[str]:
-    """Run the expert and record frames to .npz shards."""
+                    shard_size: int = 512, seed: int = 0,
+                    max_stuck_record: int = 25,
+                    max_stuck_reset: int = 100) -> List[str]:
+    """Run the expert and record frames to .npz shards.
+
+    Stuck guard: when the expert is pinned (speed < 0.3 — e.g. braking
+    forever behind an in-lane parked hazard it cannot overtake, while
+    per-tick APPROACH_LIGHT events keep resetting the env's block
+    timeout), stop RECORDING after `max_stuck_record` consecutive stopped
+    frames (thousands of identical frames add no information to the IL
+    dataset) and force a reset after `max_stuck_reset`.
+    """
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
     buf: Dict[str, List[Any]] = {k: [] for k in FIELDS}
     shards: List[str] = []
     tick = env.reset()
     frames = 0
+    stuck = 0
     while frames < n_frames:
         control = expert.act(env, tick)
+        if float(tick.get("speed", 0.0)) < 0.3:
+            stuck += 1
+            if stuck >= max_stuck_reset:
+                stuck = 0
+                tick = env.reset()
+                continue
+            if stuck > max_stuck_record:
+                tick, _, done, _ = env.step(control)
+                if done:
+                    stuck = 0
+                    tick = env.reset()
+                continue
+        else:
+            stuck = 0
         rgb, seg = env._render_rgb(with_seg=True)
         buf["camera_rgb"].append(rgb)
         buf["camera_seg"].append(seg)

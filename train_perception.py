@@ -12,6 +12,72 @@ import os
 import jax
 
 
+def _train_distributed(args, loader, stats, holdout_paths, cfg, tp):
+    """Data-parallel epoch loop over a device mesh — the reference's
+    DDP + SyncBatchNorm multi-GPU launch (experiments_builder.py:81-101),
+    as one shard_map program: batch sharded over `data`, grads pmean-ed,
+    BN batch stats psum-ed cross-replica via the BN axis_name."""
+    import time
+
+    from cadre_tpu.parallel.mesh import make_mesh
+    from cadre_tpu.parallel.perception_step import (
+        make_distributed_perception_trainer,
+    )
+    from cadre_tpu.utils import checkpoint as ckpt
+    from cadre_tpu.utils.logger import logger
+
+    mesh = make_mesh(args.mesh_devices)
+    n_dev = int(mesh.devices.size)
+    if args.batch_size % n_dev:
+        raise SystemExit(f"--batch-size {args.batch_size} must be divisible "
+                         f"by the {n_dev}-device mesh")
+    logger.log(f"perception mesh: {n_dev} devices, per-device batch "
+               f"{args.batch_size // n_dev}")
+    state, update, shard_batch = make_distributed_perception_trainer(
+        cfg, tp, steps_per_epoch=max(1, len(loader)),
+        rng=jax.random.PRNGKey(args.seed), mesh=mesh,
+        seg_class_weight=stats.seg_class_weight,
+        light_class_weight=stats.light_class_weight)
+    os.makedirs(args.work_dir, exist_ok=True)
+    rng = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        agg, n = {}, 0
+        for batch in loader:
+            rng, key = jax.random.split(rng)
+            state, losses = update(state, shard_batch(batch), key)
+            for k, v in losses.items():     # lazy device adds, no fetch
+                agg[k] = agg.get(k, 0.0) + v
+            n += 1
+        row = {k: float(v) / max(n, 1) for k, v in agg.items()}
+        fps = n * loader.batch_size / max(time.time() - t0, 1e-9)
+        logger.log(f"perception epoch {epoch} [mesh x{n_dev}]: " + ", ".join(
+            f"{k}={v:.3f}" for k, v in row.items()) + f" ({fps:.0f} frames/s)")
+        if epoch % args.save_interval == 0 or epoch == args.epochs - 1:
+            ckpt.save_pytree(
+                os.path.join(args.work_dir, f"net_epoch{epoch}.msgpack"),
+                {"params": state["params"],
+                 "batch_stats": state["batch_stats"]})
+    if holdout_paths:
+        # per-class holdout report through a single-device trainer seeded
+        # with the mesh-trained weights (test_route.py protocol)
+        from cadre_tpu.perception.data import PerceptionDataLoader
+        from cadre_tpu.perception.trainer import PerceptionTrainer
+
+        trainer = PerceptionTrainer(
+            cfg, tp, steps_per_epoch=max(1, len(loader)),
+            rng=jax.random.PRNGKey(args.seed))
+        trainer.load(os.path.join(args.work_dir,
+                                  f"net_epoch{args.epochs - 1}.msgpack"))
+        holdout = PerceptionDataLoader(holdout_paths,
+                                       batch_size=args.batch_size,
+                                       seed=args.seed)
+        rep = trainer.evaluate_per_class(holdout)
+        logger.log("holdout summary: " + " ".join(
+            f"{k}={rep[k]:.4f}" for k in sorted(rep)
+            if isinstance(rep[k], float)))
+
+
 def main():
     p = argparse.ArgumentParser(description="Train the DANet encoder")
     p.add_argument("--data-dir", required=True)
@@ -45,6 +111,13 @@ def main():
                         " EXPERIMENTS, e.g. auto_danet_exp50 for the CoPM"
                         " w/o-attention ablation); overrides --model and the"
                         " input/output modes")
+    p.add_argument("--mesh", action="store_true",
+                   help="data-parallel training over ALL visible devices "
+                        "(shard_map + SyncBN-via-axis-psum — the reference's"
+                        " DDP+SyncBatchNorm launch, "
+                        "experiments_builder.py:81-101); DANet only")
+    p.add_argument("--mesh-devices", type=int, default=None,
+                   help="limit the mesh to the first N devices")
     args = p.parse_args()
 
     from cadre_tpu.configs.danet_config import (
@@ -90,6 +163,19 @@ def main():
         if args.small else {}
     tp = PerceptionTrainParams(batch_size=args.batch_size,
                                max_epochs=args.epochs)
+    if args.mesh:
+        if args.experiment or args.model != "danet":
+            raise SystemExit("--mesh supports the production DANet only")
+        # the packed-uint8 wire is a single-device put; the mesh path
+        # shards host-assembled unpacked batches instead
+        loader = PerceptionDataLoader(train_paths,
+                                      batch_size=args.batch_size,
+                                      seed=args.seed,
+                                      augment=args.augment,
+                                      cache_in_memory=args.cache)
+        _train_distributed(args, loader, stats, holdout_paths,
+                           danet_params(**small), tp)
+        return
     if args.experiment:
         from cadre_tpu.configs.experiments import build_experiment
 
