@@ -35,6 +35,15 @@ class DANetParams:
     pred_topdown_rgb: bool = False
     pred_topdown_seg: bool = False
     pred_bc: bool = True
+    # TPU-framework extension (not in the reference output modes): an
+    # auxiliary head z -> (dis, theta) supervising the PPO latent with the
+    # privileged route geometry at PRETRAIN time.  Motivated by the round-2
+    # latent probe (BENCH_r2_latent_probe.json): the stock CoPM objective
+    # (seg+recon+light+BC) leaves route geometry linearly undecodable from
+    # z (R^2 ~ 0) even though the route-fig input carries it at R^2 > 0.93,
+    # which is why a frozen trained encoder could not beat a random one in
+    # blind-route RL.  Off by default for reference parity.
+    pred_route_geom: bool = False
     in_bc_speed: bool = True
     in_route: bool = True
     # remaining input-mode flags (auto_basic_config.change_input_mode)

@@ -366,6 +366,24 @@ class BCBranch(nn.Module):
         return nn.Dense(2, name="fc2")(h)
 
 
+class RouteGeomBranch(nn.Module):
+    """Latent -> (dis, theta) auxiliary head (TPU-framework extension).
+
+    Consumes the SAME latent `DANet.latent(mode='concate')` hands to PPO
+    (concat of att_visual ++ att_bc, pre speed-feature), so its gradients
+    force route geometry to survive the bottleneck the policy reads.
+    See DANetParams.pred_route_geom for the motivation.
+    """
+
+    z_dims: int
+
+    @nn.compact
+    def __call__(self, z):
+        h = nn.Dense(self.z_dims // 2, name="fc1")(z)
+        h = leaky_relu(h)
+        return nn.Dense(2, name="fc2")(h)
+
+
 class DANet(nn.Module):
     """The full CoPM encoder-decoder (Networks/danet.py:72-364)."""
 
@@ -395,6 +413,9 @@ class DANet(nn.Module):
         else:
             self.visual_fc1 = nn.Dense(1024, name="visual_fc1")
             self.visual_fc2 = nn.Dense(cfg.z_dims, name="visual_fc2")
+        if cfg.pred_route_geom:
+            self.route_geom_branch = RouteGeomBranch(
+                cfg.z_dims, name="route_geom_branch")
 
     def _trunk(self, x, train: bool):
         """backbone -> dual-attention head -> per-task 1x1 convs."""
@@ -420,6 +441,11 @@ class DANet(nn.Module):
         cfg = self.params_cfg
         da_visual, da_bc = self._trunk(x, train)
         att_visual, att_bc = self._zs(da_visual, da_bc, train)
+        if cfg.pred_route_geom:
+            # pre-speed concat == latent(mode='concate'), the PPO view
+            z_ppo = (jnp.concatenate([att_visual, att_bc], axis=-1)
+                     if cfg.pred_bc else att_visual)
+            geom = self.route_geom_branch(z_ppo)
         if cfg.pred_bc and cfg.in_bc_speed and bc_speed is not None:
             att_bc = att_bc + self._speed_feature(bc_speed)
         out = self.visual_branch(att_visual, train=train)
@@ -427,6 +453,8 @@ class DANet(nn.Module):
             bc = self.bc_branch(att_bc)
             out["steer"] = bc[:, 0]
             out["throttle"] = bc[:, 1]
+        if cfg.pred_route_geom:
+            out["route_geom"] = geom            # [B, 2] = (dis, theta)
         return out
 
     def latent(self, x, mode: str = "concate", train: bool = False):

@@ -23,7 +23,8 @@ from typing import Any, Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 FIELDS = ("camera_rgb", "camera_seg", "route_fig", "speed", "target_speed",
-          "steer", "throttle", "command", "light_state", "light_dist")
+          "steer", "throttle", "command", "light_state", "light_dist",
+          "dis", "theta")
 
 
 def collect_dataset(env, expert, n_frames: int, out_dir: str,
@@ -76,6 +77,14 @@ def collect_dataset(env, expert, n_frames: int, out_dir: str,
         buf["command"].append(tick.get("command", 3))
         buf["light_state"].append(tick.get("light_state", 0))
         buf["light_dist"].append(tick.get("light_dist", -1.0))
+        # normalized route geometry (dis/3, |theta|) — targets for the
+        # pred_route_geom auxiliary head (measurements layout: base_env
+        # _assemble_tick [speed, dis, theta])
+        meas = (tick["last_measurements"] if "last_measurements" in tick
+                else tick["measurements"][-1] if "measurements" in tick
+                else (0.0, 0.0, 0.0))
+        buf["dis"].append(float(meas[1]))
+        buf["theta"].append(float(meas[2]))
         frames += 1
 
         tick, _, done, _ = env.step(control)
@@ -204,12 +213,23 @@ class PerceptionDataLoader:
     def __len__(self) -> int:
         return self.num_frames // self.batch_size
 
+    @staticmethod
+    def _geom(z, idx) -> Dict[str, np.ndarray]:
+        """dis/theta labels; zeros for shards collected before the
+        pred_route_geom fields existed."""
+        out = {}
+        for k in ("dis", "theta"):
+            out[k] = (z[k][idx].astype(np.float32) if k in z
+                      else np.zeros(len(idx), np.float32))
+        return out
+
     def _frame_batch(self, z, idx) -> Dict[str, np.ndarray]:
         rgb = z["camera_rgb"][idx]
         if self.augment:
             rgb = _augment(rgb, self._rng)
         if self.packed:
             return {
+                **self._geom(z, idx),
                 "rgb_u8": np.clip(rgb, 0, 255).astype(np.uint8),
                 "route_u8": z["route_fig"][idx].astype(np.uint8),
                 "camera_seg": z["camera_seg"][idx].astype(np.uint8),
@@ -227,6 +247,7 @@ class PerceptionDataLoader:
         route = np.swapaxes(route, 1, 2)[..., None]         # [B,144,256,1]
         x = np.concatenate([rgb.astype(np.float32) / 255.0, route], axis=-1)
         return {
+            **self._geom(z, idx),
             "x": x,
             "camera_rgb": rgb.astype(np.float32) / 255.0,
             "camera_seg": z["camera_seg"][idx].astype(np.int32),

@@ -94,6 +94,13 @@ def total_danet_loss(outputs: Dict[str, jax.Array], batch: Dict[str, Any],
         losses["steer"] = bc_loss(outputs["steer"], batch["steer"])
         losses["throttle"] = bc_loss(outputs["throttle"], batch["throttle"])
         total = total + losses["steer"] + losses["throttle"]
+    if getattr(cfg, "pred_route_geom", False):
+        # auxiliary (dis, theta) MSE on the PPO latent — weight comparable
+        # to the BC terms; see DANetParams.pred_route_geom
+        losses["route_geom"] = (
+            bc_loss(outputs["route_geom"][:, 0], batch["dis"])
+            + bc_loss(outputs["route_geom"][:, 1], batch["theta"]))
+        total = total + losses["route_geom"]
     # VAE-family models expose gaussian latent heads -> KLD terms
     # (auto_trainer.py:300-303)
     if "mu" in outputs:

@@ -276,6 +276,13 @@ class PerceptionTrainer:
                     hit = (pred == true)[:, None] * oh
                     out["light_correct"] = hit.sum(axis=0)
                     out["light_total"] = oh.sum(axis=0)
+                if getattr(self.cfg, "pred_route_geom", False):
+                    true = jnp.stack([batch["dis"], batch["theta"]], axis=-1)
+                    err = outputs["route_geom"] - true
+                    out["geom_se"] = (err ** 2).sum(axis=0)
+                    out["geom_sum"] = true.sum(axis=0)
+                    out["geom_sumsq"] = (true ** 2).sum(axis=0)
+                    out["geom_n"] = jnp.full((), true.shape[0], jnp.float32)
                 return out
 
             self._per_class_fn = jax.jit(counts)
@@ -309,6 +316,13 @@ class PerceptionTrainer:
             report["light_acc"] = float(
                 agg["light_correct"].sum()
                 / max(agg["light_total"].sum(), 1.0))
+        if "geom_se" in agg:
+            n = max(float(agg["geom_n"]), 1.0)
+            var = agg["geom_sumsq"] - agg["geom_sum"] ** 2 / n
+            r2 = 1.0 - agg["geom_se"] / np.maximum(var, 1e-9)
+            report["geom_r2_dis"] = float(r2[0])
+            report["geom_r2_theta"] = float(r2[1])
+            report["geom_mse"] = (agg["geom_se"] / n).tolist()
         return report
 
     # ---------------- checkpoints ----------------

@@ -68,10 +68,11 @@ def phase_collect(args):
     print(f"collected {args.frames} frames -> {len(shards)} shards")
 
 
-def _small_cfg():
+def _small_cfg(route_geom: bool = False):
     from cadre_tpu.configs.danet_config import danet_params
 
-    return danet_params(da_feature_channel=64, inter_att_dims=48, z_dims=32)
+    return danet_params(da_feature_channel=64, inter_att_dims=48, z_dims=32,
+                        pred_route_geom=route_geom)
 
 
 def phase_pretrain(args):
@@ -91,7 +92,7 @@ def phase_pretrain(args):
     tp = PerceptionTrainParams(batch_size=args.batch,
                                max_epochs=args.epochs)
     trainer = PerceptionTrainer(
-        _small_cfg(), tp, steps_per_epoch=len(train_loader),
+        _small_cfg(args.route_geom), tp, steps_per_epoch=len(train_loader),
         rng=jax.random.PRNGKey(args.seed),
         seg_class_weight=stats.seg_class_weight,
         light_class_weight=stats.light_class_weight)
@@ -120,7 +121,7 @@ def phase_rl(args):
     from cadre_tpu.rl.agent import CadreAgent
     from cadre_tpu.rl.vec_train import train_vec
 
-    cfg = _small_cfg()
+    cfg = _small_cfg(args.route_geom)
     danet_vars = None
     if args.arm == "trained":
         from cadre_tpu.utils.checkpoint import load_danet_checkpoint
@@ -169,7 +170,7 @@ def phase_eval(args):
     from cadre_tpu.rl.evaluate import evaluate
     from cadre_tpu.utils.checkpoint import load_danet_checkpoint
 
-    cfg = _small_cfg()
+    cfg = _small_cfg(args.route_geom)
     danet_vars = None
     if args.arm == "trained" and os.path.exists(args.encoder):
         danet_vars = load_danet_checkpoint(args.encoder, cfg)
@@ -238,6 +239,11 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--arm", choices=["trained", "random"], default="trained")
+    p.add_argument("--route-geom", action="store_true",
+                   help="enable the pred_route_geom auxiliary head "
+                        "(dis/theta supervision on the PPO latent) in "
+                        "pretrain, and build the matching cfg when loading "
+                        "the encoder in rl/eval")
     p.add_argument("--blind-route", action="store_true",
                    help="zero the privileged (dis, theta) measurements in "
                         "the policy obs; route geometry then flows only "

@@ -162,6 +162,9 @@ def main():
     p.add_argument("--seed", type=int, default=11)
     p.add_argument("--encoder", default="/tmp/cascade_proof/encoder.msgpack")
     p.add_argument("--out", default=None)
+    p.add_argument("--route-geom", action="store_true",
+                   help="encoder was trained with pred_route_geom; build "
+                        "the matching cfg so the checkpoint tree loads")
     p.add_argument("--cache", default="/tmp/latent_probe_cache.npz",
                    help="npz of latents+targets, reused when present")
     args = p.parse_args()
@@ -172,7 +175,8 @@ def main():
     from cadre_tpu.models.danet import create_danet
     from cadre_tpu.utils.checkpoint import load_danet_checkpoint
 
-    cfg = danet_params(da_feature_channel=64, inter_att_dims=48, z_dims=32)
+    cfg = danet_params(da_feature_channel=64, inter_att_dims=48, z_dims=32,
+                       pred_route_geom=args.route_geom)
     cache = args.cache
     if cache and os.path.exists(cache):
         d = np.load(cache)

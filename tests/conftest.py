@@ -49,6 +49,7 @@ SLOW_TESTS = {
     "test_train_loop.py::test_train_two_episodes_fake_env",
     "test_perception.py::test_trainer_runs_on_packed_batches",
     "test_perception.py::test_device_augment_trains_and_perturbs",
+    "test_perception.py::test_route_geom_head_trains",
 }
 
 

@@ -200,3 +200,49 @@ def test_device_augment_trains_and_perturbs(dataset_dir):
     d_rgb = float(jnp.abs(aug["x"][..., :3] - b["x"][..., :3]).mean())
     d_route = float(jnp.abs(aug["x"][..., 3:] - b["x"][..., 3:]).max())
     assert d_rgb > 1e-4 and d_route == 0.0
+
+
+def test_dataset_route_geom_labels(dataset_dir, tmp_path):
+    # dis/theta labels ride every batch format (pred_route_geom targets)
+    for packed in (True, False):
+        b = next(iter(PerceptionDataLoader(dataset_dir, batch_size=8,
+                                           packed=packed)))
+        assert b["dis"].shape == (8,) and b["theta"].shape == (8,)
+        assert b["dis"].dtype == np.float32
+        assert np.all(b["dis"] >= 0.0)
+    # shards collected before the fields existed load with zero labels
+    legacy = {k: v for k, v in
+              np.load(PerceptionDataLoader(dataset_dir, 8).paths[0]).items()
+              if k not in ("dis", "theta")}
+    np.savez_compressed(tmp_path / "shard_00000.npz", **legacy)
+    b = next(iter(PerceptionDataLoader(str(tmp_path), batch_size=8,
+                                       packed=True)))
+    assert float(np.abs(b["dis"]).max()) == 0.0
+    assert float(np.abs(b["theta"]).max()) == 0.0
+
+
+def test_route_geom_head_trains(dataset_dir):
+    # the aux head joins the multi-task loss and the holdout report
+    cfg = danet_params(da_feature_channel=64, inter_att_dims=48, z_dims=32,
+                       pred_route_geom=True)
+    loader = PerceptionDataLoader(dataset_dir, batch_size=8, seed=4)
+    stats = compute_stats(loader.paths)
+    tp = PerceptionTrainParams(batch_size=8, max_epochs=1, warmup_epochs=0)
+    trainer = PerceptionTrainer(cfg, tp, steps_per_epoch=len(loader),
+                                rng=jax.random.PRNGKey(0),
+                                seg_class_weight=stats.seg_class_weight,
+                                light_class_weight=stats.light_class_weight)
+    out = trainer.solve(loader, epochs=1)
+    assert np.isfinite(out["route_geom"])
+    rep = trainer.evaluate_per_class(
+        PerceptionDataLoader(loader.paths, batch_size=8, packed=True))
+    assert "geom_r2_dis" in rep and "geom_r2_theta" in rep
+    # the extra params round-trip through the RL-side checkpoint loader
+    import tempfile
+
+    from cadre_tpu.utils.checkpoint import load_danet_checkpoint
+
+    with tempfile.NamedTemporaryFile(suffix=".msgpack") as f:
+        trainer.save(f.name)
+        variables = load_danet_checkpoint(f.name, cfg)
+    assert "route_geom_branch" in variables["params"]
