@@ -67,6 +67,14 @@ def main():
     p.add_argument("--blind", action="store_true",
                    help="label the artifact as the blind-route variant "
                         "(privileged dis/theta masked from the policy obs)")
+    p.add_argument("--geom", action="store_true",
+                   help="assemble the pred_route_geom arm (blind-route RL "
+                        "with an encoder pretrained under dis/theta latent "
+                        "supervision); compares against the arms in "
+                        "--baseline")
+    p.add_argument("--baseline", default="BENCH_r2_cascade_blind.json",
+                   help="prior blind-route artifact to compare the geom "
+                        "arm against")
     args = p.parse_args()
     w = args.work_dir
     logs = [os.path.join(w, "driver.log"), os.path.join(w, "driver.log.1")]
@@ -75,6 +83,49 @@ def main():
     holdout, ensembles = scan_log(logs)
     trained = read_curve(os.path.join(w, "trained.jsonl"))
     random_ = read_curve(os.path.join(w, "random.jsonl"))
+    if args.geom:
+        baseline = json.load(open(args.baseline))
+        probe_path = os.path.join(w, "latent_probe.json")
+        probe = json.load(open(probe_path)) \
+            if os.path.exists(probe_path) else None
+        out = {
+            "experiment":
+                "cascade proof, round 3: blind-route RL with an encoder "
+                "pretrained under pred_route_geom (dis/theta latent "
+                "supervision). Baseline arms (stock trained encoder, "
+                f"random encoder) from {args.baseline}.",
+            "pretrain_holdout": holdout,
+            "latent_probe": probe,
+            "geom_arm": trained,
+            "geom_ensemble": ensembles.get("trained"),
+            "baseline_trained_final_third":
+                baseline["trained_arm"]["final_third_completion_mean"],
+            "baseline_random_final_third":
+                baseline["random_arm"]["final_third_completion_mean"],
+            "baseline_ensemble": baseline.get("ensemble_eval"),
+        }
+        if trained:
+            out["gap_geom_vs_random_final_third"] = round(
+                trained["final_third_completion_mean"]
+                - out["baseline_random_final_third"], 2)
+            out["gap_geom_vs_stock_trained_final_third"] = round(
+                trained["final_third_completion_mean"]
+                - out["baseline_trained_final_third"], 2)
+        if "trained" in ensembles:
+            for k, arm in (("gap_geom_ensemble_completion_vs_random",
+                            "random"),
+                           ("gap_geom_ensemble_completion_vs_stock",
+                            "trained")):
+                out[k] = round(
+                    ensembles["trained"]["mean_completion"]
+                    - baseline["ensemble_eval"][arm]["mean_completion"], 2)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps({k: v for k, v in out.items()
+                          if not isinstance(v, (dict, list)) or v is None},
+                         indent=1))
+        print(f"wrote {args.out}")
+        return
     variant = "BLIND-ROUTE (dis/theta masked from the policy obs; route " \
         "geometry only reaches the policy through the camera/route-fig -> " \
         "encoder path)" if args.blind else "base protocol"
