@@ -39,6 +39,9 @@ EXPERIMENTS: Dict[str, Tuple[str, Optional[int], Optional[int],
     "auto_danet_exp41": ("danet", 5, 9, "position"),
     "auto_danet_exp48": ("danet", 9, 12, "transformer"),
     "auto_danet_exp49": ("danet", 5, 9, "transformer"),
+    # TPU-framework extension (no reference twin): production config plus
+    # pred_route_geom — dis/theta latent supervision; see DANetParams
+    "auto_danet_geom": ("danet", 9, 12, "transformer"),
     # CoPM w/o attention — the paper's 'invaild' ablation
     "auto_danet_exp50": ("danet", 9, 12, "invaild"),
     "auto_danet_exp51": ("danet", 9, 12, "invaild"),
@@ -85,6 +88,8 @@ def experiment_params(name: str, **overrides) -> DANetParams:
     if in_mode is None:
         in_mode, out_mode = 1, 0
     extra = dict(overrides)
+    if name == "auto_danet_geom":
+        extra.setdefault("pred_route_geom", True)
     if att is not None:
         extra.setdefault("att_type", att)
     cfg = params_for_modes(in_mode, out_mode, **extra)
