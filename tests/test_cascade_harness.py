@@ -91,3 +91,53 @@ def test_report_final_third(tmp_path):
         work_dir = str(tmp_path)
 
     proof.phase_report(A)  # must not raise; prints the gap
+
+
+def test_blind_route_sim_masks_policy_measurements():
+    """--blind-route zeros (dis, theta) in the POLICY obs while the env's
+    internal reward/termination geometry stays live."""
+    proof = _load("cascade_proof",
+                  os.path.join(ROOT, "scripts", "cascade_proof.py"))
+    env = proof.make_sim_env(0, seed=5, blind_route=True)
+    env.seq_length = 2
+    tick = env.reset()
+    for _ in range(3):
+        tick, _, done, _ = env.step(np.array([0.0, 0.5, 0.0]))
+        assert not done
+    m = np.asarray(tick["measurements"][-1])
+    assert m[1] == 0.0 and m[2] == 0.0        # masked in the obs
+    assert m[0] > 0.0                          # speed survives
+    base = proof.make_sim_env(1, seed=5, blind_route=False)
+    base.seq_length = 2
+    base.reset()
+    for _ in range(3):
+        t2, _, _, _ = base.step(np.array([0.0, 0.5, 0.0]))
+    assert np.asarray(t2["measurements"][-1])[1] != 0.0
+
+
+def test_geom_collector_compares_against_blind_baseline(tmp_path):
+    art = _load("cascade_artifacts",
+                os.path.join(ROOT, "scripts", "cascade_artifacts.py"))
+    _write_jsonl(tmp_path / "trained.jsonl", [10.0, 40.0, 60.0])
+    with open(tmp_path / "driver.log", "w") as f:
+        f.write('HOLDOUT {"seg_pixel_acc": 0.9, "geom_r2_dis": 0.8}\n')
+        f.write('ENSEMBLE {"arm": "trained", "episodes": 25, '
+                '"mean_completion": 50.0, "mean_driving_score": 40.0}\n')
+    baseline = {
+        "trained_arm": {"final_third_completion_mean": 32.0},
+        "random_arm": {"final_third_completion_mean": 33.0},
+        "ensemble_eval": {
+            "trained": {"mean_completion": 33.3, "mean_driving_score": 27.3},
+            "random": {"mean_completion": 35.5, "mean_driving_score": 28.1}},
+    }
+    bpath = tmp_path / "baseline.json"
+    json.dump(baseline, open(bpath, "w"))
+    out = tmp_path / "out.json"
+    sys.argv = ["cascade_artifacts", "--geom", "--work-dir", str(tmp_path),
+                "--out", str(out), "--baseline", str(bpath)]
+    art.main()
+    res = json.load(open(out))
+    assert res["geom_arm"]["final_third_completion_mean"] == 60.0
+    assert res["gap_geom_vs_random_final_third"] == 27.0
+    assert res["gap_geom_ensemble_completion_vs_random"] == 14.5
+    assert res["pretrain_holdout"]["geom_r2_dis"] == 0.8
