@@ -177,38 +177,41 @@ def main():
 
     cfg = danet_params(da_feature_channel=64, inter_att_dims=48, z_dims=32,
                        pred_route_geom=args.route_geom)
+    # the cache holds FRAMES + targets only; latents are always encoded
+    # fresh (a cached latent is tied to one specific encoder checkpoint —
+    # reusing it for a different --encoder silently probes the wrong model)
     cache = args.cache
     if cache and os.path.exists(cache):
         d = np.load(cache)
-        zs = {"trained": d["z_trained"], "random": d["z_random"]}
-        if "z_fig" in d:
-            zs["route_fig_16x16"] = d["z_fig"]
-        targets = d["targets"]
-        print(f"loaded cached latents from {cache}", flush=True)
+        if "rgb" in d:
+            rgb, fig, targets = d["rgb"], d["fig"], d["targets"]
+            print(f"loaded {len(targets)} cached frames from {cache}",
+                  flush=True)
+        else:   # legacy latents-only cache: unusable, re-collect
+            print(f"stale latents-only cache {cache}; re-collecting",
+                  flush=True)
+            rgb, fig, targets = collect_frames(args.frames, args.seed)
     else:
         print(f"collecting {args.frames} frames ...", flush=True)
         rgb, fig, targets = collect_frames(args.frames, args.seed)
-        trained_vars = load_danet_checkpoint(args.encoder, cfg)
-        _, random_vars = create_danet(cfg, jax.random.PRNGKey(123))
-        zs = {}
-        for label, variables in (("trained", trained_vars),
-                                 ("random", random_vars)):
-            print(f"encoding with {label} encoder ...", flush=True)
-            zs[label] = encode(variables, cfg, rgb, fig)
-        # skyline: the route-fig INPUT downsampled to 16x16 — if the raw
-        # pixels decode the targets and the latents don't, the encoders
-        # are discarding the signal (objective mismatch), not the data
-        f = fig.astype(np.float32)
-        m = f.max(axis=(1, 2), keepdims=True)
-        f = np.where(m > 0, f / np.maximum(m, 1e-6), f)
-        h, w = f.shape[1] // 16, f.shape[2] // 16
-        pooled = f[:, :16 * h, :16 * w].reshape(len(f), 16, h, 16, w)
-        zs["route_fig_16x16"] = pooled.mean(axis=(2, 4)).reshape(len(f), -1)
-        if cache:
-            np.savez_compressed(cache, z_trained=zs["trained"],
-                                z_random=zs["random"],
-                                z_fig=zs["route_fig_16x16"],
-                                targets=targets)
+    if cache:
+        np.savez_compressed(cache, rgb=rgb, fig=fig, targets=targets)
+    trained_vars = load_danet_checkpoint(args.encoder, cfg)
+    _, random_vars = create_danet(cfg, jax.random.PRNGKey(123))
+    zs = {}
+    for label, variables in (("trained", trained_vars),
+                             ("random", random_vars)):
+        print(f"encoding with {label} encoder ...", flush=True)
+        zs[label] = encode(variables, cfg, rgb, fig)
+    # skyline: the route-fig INPUT downsampled to 16x16 — if the raw
+    # pixels decode the targets and the latents don't, the encoders
+    # are discarding the signal (objective mismatch), not the data
+    f = fig.astype(np.float32)
+    m = f.max(axis=(1, 2), keepdims=True)
+    f = np.where(m > 0, f / np.maximum(m, 1e-6), f)
+    h, w = f.shape[1] // 16, f.shape[2] // 16
+    pooled = f[:, :16 * h, :16 * w].reshape(len(f), 16, h, 16, w)
+    zs["route_fig_16x16"] = pooled.mean(axis=(2, 4)).reshape(len(f), -1)
     n_tr = int(0.8 * len(targets))
 
     out = {"frames": int(len(targets)), "train_frames": n_tr,
