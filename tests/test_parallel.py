@@ -89,17 +89,19 @@ def test_single_vs_distributed_aux_finite(mesh8):
         assert np.isfinite(float(x))
 
 
-def test_multihost_helpers_single_host():
+def test_multihost_helpers_single_host(monkeypatch):
     """initialize_multihost must no-op cleanly on a single host (the
     reference's NCCL env:// init is likewise skipped when WORLD_SIZE is
-    unset, experiments_builder.py:99-101) and is_chief matches process 0."""
-    import os
+    unset, experiments_builder.py:99-101) and is_chief matches process 0.
 
+    The axon tunnel environment exports TPU_WORKER_HOSTNAMES=localhost in
+    every shell, so the single-host condition is established by scrubbing
+    the env rather than asserting on it."""
     from cadre_tpu.parallel.multihost import initialize_multihost, is_chief
 
     for var in ("JAX_COORDINATOR", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID",
                 "TPU_WORKER_HOSTNAMES"):
-        assert os.environ.get(var) is None or var == "JAX_PROCESS_ID"
+        monkeypatch.delenv(var, raising=False)
     assert initialize_multihost() is False
     assert is_chief() is True
 
