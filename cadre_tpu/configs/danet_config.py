@@ -44,6 +44,15 @@ class DANetParams:
     # which is why a frozen trained encoder could not beat a random one in
     # blind-route RL.  Off by default for reference parity.
     pred_route_geom: bool = False
+    # Loss weight for the geom head.  The production losses follow the
+    # reference's c*h*w scaling (cal_losses.py:9-285), so seg/route terms
+    # sit in the thousands while a unit-weight 2-target MSE contributes
+    # ~1e-5 of the encoder gradient — the head then only fits the target
+    # mean (measured: geom MSE ~= target variance, probe R^2 ~ 0).  Set
+    # high enough to compete with the reconstruction terms (~2e4 puts the
+    # initial geom term at the same order as seg) when the latent must
+    # actually retain route geometry.
+    route_geom_weight: float = 1.0
     in_bc_speed: bool = True
     in_route: bool = True
     # remaining input-mode flags (auto_basic_config.change_input_mode)

@@ -90,6 +90,9 @@ def experiment_params(name: str, **overrides) -> DANetParams:
     extra = dict(overrides)
     if name == "auto_danet_geom":
         extra.setdefault("pred_route_geom", True)
+        # unit weight drowns against the c*h*w-scaled recon losses; see
+        # DANetParams.route_geom_weight
+        extra.setdefault("route_geom_weight", 20000.0)
     if att is not None:
         extra.setdefault("att_type", att)
     cfg = params_for_modes(in_mode, out_mode, **extra)

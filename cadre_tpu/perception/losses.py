@@ -100,7 +100,11 @@ def total_danet_loss(outputs: Dict[str, jax.Array], batch: Dict[str, Any],
         losses["route_geom"] = (
             bc_loss(outputs["route_geom"][:, 0], batch["dis"])
             + bc_loss(outputs["route_geom"][:, 1], batch["theta"]))
-        total = total + losses["route_geom"]
+        # logged unweighted (raw MSE comparable across runs); weighted into
+        # the total so the encoder gradient competes with the c*h*w-scaled
+        # reconstruction terms (see DANetParams.route_geom_weight)
+        total = total + getattr(cfg, "route_geom_weight", 1.0) \
+            * losses["route_geom"]
     # VAE-family models expose gaussian latent heads -> KLD terms
     # (auto_trainer.py:300-303)
     if "mu" in outputs:

@@ -68,11 +68,12 @@ def phase_collect(args):
     print(f"collected {args.frames} frames -> {len(shards)} shards")
 
 
-def _small_cfg(route_geom: bool = False):
+def _small_cfg(route_geom: bool = False, geom_weight: float = 1.0):
     from cadre_tpu.configs.danet_config import danet_params
 
     return danet_params(da_feature_channel=64, inter_att_dims=48, z_dims=32,
-                        pred_route_geom=route_geom)
+                        pred_route_geom=route_geom,
+                        route_geom_weight=geom_weight)
 
 
 def phase_pretrain(args):
@@ -92,7 +93,7 @@ def phase_pretrain(args):
     tp = PerceptionTrainParams(batch_size=args.batch,
                                max_epochs=args.epochs)
     trainer = PerceptionTrainer(
-        _small_cfg(args.route_geom), tp, steps_per_epoch=len(train_loader),
+        _small_cfg(args.route_geom, args.route_geom_weight), tp, steps_per_epoch=len(train_loader),
         rng=jax.random.PRNGKey(args.seed),
         seg_class_weight=stats.seg_class_weight,
         light_class_weight=stats.light_class_weight)
@@ -121,7 +122,7 @@ def phase_rl(args):
     from cadre_tpu.rl.agent import CadreAgent
     from cadre_tpu.rl.vec_train import train_vec
 
-    cfg = _small_cfg(args.route_geom)
+    cfg = _small_cfg(args.route_geom, args.route_geom_weight)
     danet_vars = None
     if args.arm == "trained":
         from cadre_tpu.utils.checkpoint import load_danet_checkpoint
@@ -170,7 +171,7 @@ def phase_eval(args):
     from cadre_tpu.rl.evaluate import evaluate
     from cadre_tpu.utils.checkpoint import load_danet_checkpoint
 
-    cfg = _small_cfg(args.route_geom)
+    cfg = _small_cfg(args.route_geom, args.route_geom_weight)
     danet_vars = None
     if args.arm == "trained" and os.path.exists(args.encoder):
         danet_vars = load_danet_checkpoint(args.encoder, cfg)
@@ -244,6 +245,12 @@ def main():
                         "(dis/theta supervision on the PPO latent) in "
                         "pretrain, and build the matching cfg when loading "
                         "the encoder in rl/eval")
+    p.add_argument("--route-geom-weight", type=float, default=20000.0,
+                   help="loss weight for the geom head; the default puts "
+                        "its initial term at the same order as the "
+                        "c*h*w-scaled seg loss so the encoder gradient is "
+                        "not drowned (unit weight measured ~1e-5 relative "
+                        "and the head only fit the target mean)")
     p.add_argument("--blind-route", action="store_true",
                    help="zero the privileged (dis, theta) measurements in "
                         "the policy obs; route geometry then flows only "
