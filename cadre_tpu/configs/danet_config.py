@@ -55,6 +55,18 @@ class DANetParams:
     route_geom_weight: float = 1.0
     in_bc_speed: bool = True
     in_route: bool = True
+    # TPU-framework extension (round-3 cascade experiment): BLANK the route
+    # raster input plane (keep its channel so shapes/checkpoints are
+    # unchanged) at every input-assembly point — pretrain, RL act, probe.
+    # Route geometry must then be PERCEIVED from the camera's painted route
+    # ribbon (perspective-projected, weather-degraded), which is a genuinely
+    # nonlinear extraction a random frozen encoder cannot do: the round-2
+    # ladder (BENCH_r2_cascade_geom.json) showed any full-rank projection of
+    # the clean route-fig plane is already a sufficient statistic, so the
+    # trained-vs-random comparison was insensitive to encoder quality.  The
+    # route fig remains a pretrain TARGET (pred_route) — the encoder learns
+    # camera -> route geometry.  Off by default for reference parity.
+    in_route_blank: bool = False
     # remaining input-mode flags (auto_basic_config.change_input_mode)
     in_backbone: int = 1            # number of stacked camera frames
     in_lidar: bool = False

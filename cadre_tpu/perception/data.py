@@ -171,6 +171,17 @@ def unpack_batch(batch):
     return out
 
 
+def blank_route_plane(x):
+    """Zero every input plane after the leading rgb 3 (the route raster for
+    input mode 9) while keeping the channel so shapes and checkpoints are
+    unchanged — the DANetParams.in_route_blank camera-route experiment.
+    Targets (route_fig recon, route_geom) are untouched; only the model
+    INPUT loses the clean raster."""
+    import jax.numpy as jnp
+
+    return jnp.concatenate([x[..., :3], jnp.zeros_like(x[..., 3:])], axis=-1)
+
+
 class PerceptionDataLoader:
     """Epoch-shuffled host batching over .npz shards -> model-ready dicts.
 

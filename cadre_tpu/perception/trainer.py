@@ -108,8 +108,14 @@ class PerceptionTrainer:
     # ---------------- steps ----------------
 
     def _apply(self, params, batch_stats, batch, train, rng=None):
-        args = (batch["x"], batch["speed"]) if self._takes_speed \
-            else (batch["x"],)
+        x = batch["x"]
+        if getattr(self.cfg, "in_route_blank", False):
+            from cadre_tpu.perception.data import blank_route_plane
+
+            # camera-route experiment: the route raster stays a TARGET
+            # (batch['route_fig']) but is blanked from the model input
+            x = blank_route_plane(x)
+        args = (x, batch["speed"]) if self._takes_speed else (x,)
         kwargs = dict(train=train)
         if train:
             kwargs["rngs"] = {"dropout": rng}

@@ -51,18 +51,25 @@ class ActResult(NamedTuple):
     hidden: Tuple[jax.Array, jax.Array]
 
 
-def preprocess_obs(rgb: jax.Array, route_fig: jax.Array) -> jax.Array:
+def preprocess_obs(rgb: jax.Array, route_fig: jax.Array,
+                   blank_route: bool = False) -> jax.Array:
     """tick_data -> encoder input [T, H, W, 4] (agent.py:43-75).
 
     rgb: [T, H, W, 3] uint8/float; route_fig: [T, W, H] raster (the route
     figure is drawn transposed, env_wrapper.py:242) -> normalized to [0,1]
     per frame by its max, transposed to [T, H, W].
+
+    `blank_route` (DANetParams.in_route_blank, the camera-route cascade
+    experiment) zeroes the route plane: route geometry must be perceived
+    from the camera's painted ribbon instead of read off the clean raster.
     """
     rgb = rgb.astype(jnp.float32) / 255.0
     route = route_fig.astype(jnp.float32)
     max_per_frame = jnp.max(route, axis=(1, 2), keepdims=True)
     route = jnp.where(max_per_frame > 0, route / max_per_frame, route)
     route = jnp.swapaxes(route, 1, 2)[..., None]  # [T, H, W, 1]
+    if blank_route:
+        route = jnp.zeros_like(route)
     return jnp.concatenate([rgb, route], axis=-1)
 
 
@@ -154,7 +161,8 @@ class CadreAgent:
 
     def _act(self, params, danet_vars, rgb, route_fig, measurements, command,
              hidden, rng):
-        x = preprocess_obs(rgb, route_fig)
+        x = preprocess_obs(rgb, route_fig,
+                           blank_route=self.danet_cfg.in_route_blank)
         feats = latent_features(self.danet, danet_vars, x, measurements)
         # all T frame features unroll through the LSTM every act
         # (models.py:144-151 via agent.py:123-124); N = 1 env
@@ -187,7 +195,8 @@ class CadreAgent:
         measurements [N,T,3], commands [N], hidden ([N,F],[N,F])."""
         n, t = rgb.shape[0], rgb.shape[1]
         x = preprocess_obs(rgb.reshape((n * t,) + rgb.shape[2:]),
-                           route_fig.reshape((n * t,) + route_fig.shape[2:]))
+                           route_fig.reshape((n * t,) + route_fig.shape[2:]),
+                           blank_route=self.danet_cfg.in_route_blank)
         feats = latent_features(self.danet, danet_vars, x,
                                 measurements.reshape(n * t, -1))
         feats = feats.reshape(n, t, -1)
@@ -220,7 +229,8 @@ class CadreAgent:
         per-tick host->device traffic drops from N*T frames to N frames —
         the PCIe/tunnel-bound fix for the act path.
         """
-        x = preprocess_obs(rgb_last, route_last)
+        x = preprocess_obs(rgb_last, route_last,
+                           blank_route=self.danet_cfg.in_route_blank)
         return latent_features(self.danet, danet_vars, x, meas_last)
 
     def _act_from_hist(self, params, feat_hist, commands, hidden, rng):
@@ -305,7 +315,8 @@ class CadreAgent:
         if refresh:
             n, t = rgb.shape[0], rgb.shape[1]
             x = preprocess_obs(rgb.reshape((n * t,) + rgb.shape[2:]),
-                               route.reshape((n * t,) + route.shape[2:]))
+                               route.reshape((n * t,) + route.shape[2:]),
+                               blank_route=self.danet_cfg.in_route_blank)
             feats = latent_features(self.danet, danet_vars, x,
                                     meas.reshape(n * t, -1))
             hist = jnp.transpose(feats.reshape(n, t, -1), (1, 0, 2))

@@ -68,12 +68,14 @@ def phase_collect(args):
     print(f"collected {args.frames} frames -> {len(shards)} shards")
 
 
-def _small_cfg(route_geom: bool = False, geom_weight: float = 1.0):
+def _small_cfg(route_geom: bool = False, geom_weight: float = 1.0,
+               camera_route: bool = False):
     from cadre_tpu.configs.danet_config import danet_params
 
     return danet_params(da_feature_channel=64, inter_att_dims=48, z_dims=32,
                         pred_route_geom=route_geom,
-                        route_geom_weight=geom_weight)
+                        route_geom_weight=geom_weight,
+                        in_route_blank=camera_route)
 
 
 def phase_pretrain(args):
@@ -93,7 +95,8 @@ def phase_pretrain(args):
     tp = PerceptionTrainParams(batch_size=args.batch,
                                max_epochs=args.epochs)
     trainer = PerceptionTrainer(
-        _small_cfg(args.route_geom, args.route_geom_weight), tp, steps_per_epoch=len(train_loader),
+        _small_cfg(args.route_geom, args.route_geom_weight,
+                   args.camera_route), tp, steps_per_epoch=len(train_loader),
         rng=jax.random.PRNGKey(args.seed),
         seg_class_weight=stats.seg_class_weight,
         light_class_weight=stats.light_class_weight)
@@ -122,7 +125,8 @@ def phase_rl(args):
     from cadre_tpu.rl.agent import CadreAgent
     from cadre_tpu.rl.vec_train import train_vec
 
-    cfg = _small_cfg(args.route_geom, args.route_geom_weight)
+    cfg = _small_cfg(args.route_geom, args.route_geom_weight,
+                     args.camera_route)
     danet_vars = None
     if args.arm == "trained":
         from cadre_tpu.utils.checkpoint import load_danet_checkpoint
@@ -171,7 +175,8 @@ def phase_eval(args):
     from cadre_tpu.rl.evaluate import evaluate
     from cadre_tpu.utils.checkpoint import load_danet_checkpoint
 
-    cfg = _small_cfg(args.route_geom, args.route_geom_weight)
+    cfg = _small_cfg(args.route_geom, args.route_geom_weight,
+                     args.camera_route)
     danet_vars = None
     if args.arm == "trained" and os.path.exists(args.encoder):
         danet_vars = load_danet_checkpoint(args.encoder, cfg)
@@ -255,6 +260,16 @@ def main():
                    help="zero the privileged (dis, theta) measurements in "
                         "the policy obs; route geometry then flows only "
                         "through the camera/route-fig -> encoder path")
+    p.add_argument("--camera-route", action="store_true",
+                   help="round-3 experiment: blank the route-raster INPUT "
+                        "plane everywhere (DANetParams.in_route_blank) so "
+                        "route geometry must be perceived from the camera's "
+                        "painted ribbon; combine with --blind-route so the "
+                        "policy has no privileged channel either. The route "
+                        "fig stays a pretrain TARGET. Motivated by "
+                        "BENCH_r2_cascade_geom.json: a random projection of "
+                        "the clean raster was a sufficient statistic, making "
+                        "trained-vs-random insensitive to encoder quality")
     p.add_argument("--encoder", default="/tmp/cascade_proof/encoder.msgpack")
     p.add_argument("--num-envs", type=int, default=8)
     p.add_argument("--num-steps", type=int, default=200)

@@ -79,10 +79,12 @@ def encode(variables, cfg, rgb, fig, batch: int = 256):
 
     model = DANet(cfg)
     fn = jax.jit(lambda v, x: model.apply(v, x, method=DANet.latent))
+    blank = bool(getattr(cfg, "in_route_blank", False))
     zs = []
     for i in range(0, len(rgb), batch):
         x = preprocess_obs(jnp.asarray(rgb[i:i + batch]),
-                           jnp.asarray(fig[i:i + batch]))
+                           jnp.asarray(fig[i:i + batch]),
+                           blank_route=blank)
         zs.append(np.asarray(fn(variables, x)))
     return np.concatenate(zs)
 
@@ -165,6 +167,10 @@ def main():
     p.add_argument("--route-geom", action="store_true",
                    help="encoder was trained with pred_route_geom; build "
                         "the matching cfg so the checkpoint tree loads")
+    p.add_argument("--camera-route", action="store_true",
+                   help="encoder was trained with in_route_blank (camera-"
+                        "route experiment); blank the route plane when "
+                        "encoding so the probe matches the training input")
     p.add_argument("--cache", default="/tmp/latent_probe_cache.npz",
                    help="npz of latents+targets, reused when present")
     args = p.parse_args()
@@ -176,7 +182,8 @@ def main():
     from cadre_tpu.utils.checkpoint import load_danet_checkpoint
 
     cfg = danet_params(da_feature_channel=64, inter_att_dims=48, z_dims=32,
-                       pred_route_geom=args.route_geom)
+                       pred_route_geom=args.route_geom,
+                       in_route_blank=args.camera_route)
     # the cache holds FRAMES + targets only; latents are always encoded
     # fresh (a cached latent is tied to one specific encoder checkpoint —
     # reusing it for a different --encoder silently probes the wrong model)

@@ -50,6 +50,8 @@ SLOW_TESTS = {
     "test_perception.py::test_trainer_runs_on_packed_batches",
     "test_perception.py::test_device_augment_trains_and_perturbs",
     "test_perception.py::test_route_geom_head_trains",
+    "test_perception.py::test_camera_route_trainer_blanks_input_only",
+    "test_agent.py::test_camera_route_agent_invariant_to_route_fig",
 }
 
 

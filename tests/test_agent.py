@@ -137,3 +137,34 @@ def test_loaded_params_are_device_committed(tmp_path, agent):
                            danet_vars=np_vars)
     for leaf in jax.tree_util.tree_leaves(a2.danet_vars):
         assert isinstance(leaf, jax.Array), type(leaf)
+
+
+def test_preprocess_blank_route_zeros_plane():
+    """in_route_blank (camera-route experiment): the route plane is zeroed
+    while the rgb channels are untouched."""
+    tick = _tick()
+    xb = preprocess_obs(jnp.asarray(tick["rgb"]),
+                        jnp.asarray(tick["route_fig"]), blank_route=True)
+    x = preprocess_obs(jnp.asarray(tick["rgb"]),
+                       jnp.asarray(tick["route_fig"]))
+    assert float(jnp.abs(xb[..., 3]).max()) == 0.0
+    assert float(jnp.abs(x[..., 3]).max()) > 0.0
+    assert np.allclose(np.asarray(xb[..., :3]), np.asarray(x[..., :3]))
+
+
+def test_camera_route_agent_invariant_to_route_fig():
+    """A camera-route agent's latent features must not depend on the route
+    raster at all — the whole point of the round-3 protocol is that route
+    geometry can only enter through the rgb camera."""
+    cfg = danet_params(image_height=64, image_width=96, feat_h=2,
+                       feat_w=3, da_feature_channel=64,
+                       inter_att_dims=48, z_dims=32, in_route_blank=True)
+    ag = CadreAgent.create(jax.random.PRNGKey(0), agent_cfg=AgentConfig(),
+                           danet_cfg=cfg)
+    t1 = _tick()
+    t2 = dict(t1)
+    t2["route_fig"] = (np.random.RandomState(9).rand(8, 96, 64)
+                       * 255).astype(np.uint8)
+    f1 = np.asarray(ag.act(t1, jax.random.PRNGKey(3)).features)
+    f2 = np.asarray(ag.act(t2, jax.random.PRNGKey(3)).features)
+    assert np.allclose(f1, f2)

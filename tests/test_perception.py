@@ -246,3 +246,27 @@ def test_route_geom_head_trains(dataset_dir):
         trainer.save(f.name)
         variables = load_danet_checkpoint(f.name, cfg)
     assert "route_geom_branch" in variables["params"]
+
+
+def test_camera_route_trainer_blanks_input_only(dataset_dir):
+    """in_route_blank: the route raster is removed from the model INPUT
+    (metrics invariant to garbage in x's route plane) but stays a TARGET
+    (the route recon loss is still computed against batch['route_fig'])."""
+    cfg = danet_params(da_feature_channel=64, inter_att_dims=48, z_dims=32,
+                       in_route_blank=True)
+    loader = PerceptionDataLoader(dataset_dir, batch_size=8, seed=4)
+    stats = compute_stats(loader.paths)
+    tp = PerceptionTrainParams(batch_size=8, max_epochs=1, warmup_epochs=0)
+    trainer = PerceptionTrainer(cfg, tp, steps_per_epoch=len(loader),
+                                rng=jax.random.PRNGKey(0),
+                                seg_class_weight=stats.seg_class_weight,
+                                light_class_weight=stats.light_class_weight)
+    batch = next(iter(loader))
+    m1 = trainer.eval_step(batch)
+    b2 = dict(batch)
+    x = np.array(batch["x"])
+    x[..., 3] = np.random.RandomState(0).rand(*x[..., 3].shape)
+    b2["x"] = x
+    m2 = trainer.eval_step(b2)
+    assert np.allclose(m1["total"], m2["total"])
+    assert np.isfinite(m1["route"]) and m1["route"] > 0.0
