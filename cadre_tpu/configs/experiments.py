@@ -42,6 +42,10 @@ EXPERIMENTS: Dict[str, Tuple[str, Optional[int], Optional[int],
     # TPU-framework extension (no reference twin): production config plus
     # pred_route_geom — dis/theta latent supervision; see DANetParams
     "auto_danet_geom": ("danet", 9, 12, "transformer"),
+    # TPU-framework extension: geom supervision + camera-route input (the
+    # route raster is blanked from the INPUT but kept as a target; round-3
+    # cascade experiment, scripts/run_cascade_camroute.sh)
+    "auto_danet_camroute": ("danet", 9, 12, "transformer"),
     # CoPM w/o attention — the paper's 'invaild' ablation
     "auto_danet_exp50": ("danet", 9, 12, "invaild"),
     "auto_danet_exp51": ("danet", 9, 12, "invaild"),
@@ -88,11 +92,13 @@ def experiment_params(name: str, **overrides) -> DANetParams:
     if in_mode is None:
         in_mode, out_mode = 1, 0
     extra = dict(overrides)
-    if name == "auto_danet_geom":
+    if name in ("auto_danet_geom", "auto_danet_camroute"):
         extra.setdefault("pred_route_geom", True)
         # unit weight drowns against the c*h*w-scaled recon losses; see
         # DANetParams.route_geom_weight
         extra.setdefault("route_geom_weight", 20000.0)
+    if name == "auto_danet_camroute":
+        extra.setdefault("in_route_blank", True)
     if att is not None:
         extra.setdefault("att_type", att)
     cfg = params_for_modes(in_mode, out_mode, **extra)

@@ -47,9 +47,14 @@ def make_distributed_perception_trainer(
         if light_class_weight is not None else None
 
     def loss_fn(params, stats, batch, rng_):
+        x = batch["x"]
+        if getattr(cfg, "in_route_blank", False):
+            from cadre_tpu.perception.data import blank_route_plane
+
+            x = blank_route_plane(x)  # camera-route: input-only blanking
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": stats},
-            batch["x"], batch["speed"], train=True,
+            x, batch["speed"], train=True,
             rngs={"dropout": rng_}, mutable=["batch_stats"])
         total, losses = total_danet_loss(outputs, batch, cfg, seg_w, light_w)
         return total, (losses, mutated["batch_stats"])
@@ -75,6 +80,11 @@ def make_distributed_perception_trainer(
         "command": P(axis_name), "light_state": P(axis_name),
         "light_dist": P(axis_name),
     }
+    if getattr(cfg, "pred_route_geom", False):
+        # geom-head targets; the in_specs tree must match the batch pytree
+        # exactly, so only include them when the loss will consume them
+        batch_spec["dis"] = P(axis_name)
+        batch_spec["theta"] = P(axis_name)
     fn = shard_map(update, mesh=mesh,
                    in_specs=(P(), batch_spec, P()),
                    out_specs=(P(), P()),

@@ -51,6 +51,7 @@ SLOW_TESTS = {
     "test_perception.py::test_device_augment_trains_and_perturbs",
     "test_perception.py::test_route_geom_head_trains",
     "test_perception.py::test_camera_route_trainer_blanks_input_only",
+    "test_cil_and_distributed_perception.py::test_distributed_geom_camroute_step",
     "test_agent.py::test_camera_route_agent_invariant_to_route_fig",
 }
 

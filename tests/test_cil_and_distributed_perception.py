@@ -67,3 +67,47 @@ def test_distributed_perception_step(mesh8):
     l1 = jax.tree_util.tree_leaves(new_state["params"])[0]
     l2 = jax.tree_util.tree_leaves(new_state2["params"])[0]
     assert not np.allclose(np.asarray(l1), np.asarray(l2))
+
+
+def test_distributed_geom_camroute_step(mesh8):
+    """pred_route_geom + in_route_blank over the mesh: the (dis, theta)
+    targets must ride the batch spec (regression: shard_batch used to drop
+    them, crashing the geom loss under shard_map), and the loss must be
+    invariant to garbage in the blanked route input plane."""
+    from cadre_tpu.parallel.perception_step import (
+        make_distributed_perception_trainer,
+    )
+
+    cfg = danet_params(image_height=32, image_width=64, feat_h=1, feat_w=2,
+                       da_feature_channel=32, inter_att_dims=16, z_dims=8,
+                       pred_route_geom=True, route_geom_weight=100.0,
+                       in_route_blank=True)
+    tp = PerceptionTrainParams(max_epochs=1, warmup_epochs=0)
+    state, update, shard_batch = make_distributed_perception_trainer(
+        cfg, tp, steps_per_epoch=2, rng=jax.random.PRNGKey(0), mesh=mesh8)
+    rng = np.random.RandomState(1)
+    b = 8
+    batch = {
+        "x": rng.rand(b, 32, 64, 4).astype(np.float32),
+        "camera_rgb": rng.rand(b, 32, 64, 3).astype(np.float32),
+        "camera_seg": rng.randint(0, 8, (b, 32, 64)).astype(np.int32),
+        "route_fig": rng.rand(b, 32, 64, 1).astype(np.float32),
+        "speed": rng.rand(b, 1).astype(np.float32),
+        "target_speed": rng.rand(b).astype(np.float32),
+        "steer": rng.rand(b).astype(np.float32),
+        "throttle": rng.rand(b).astype(np.float32),
+        "command": rng.randint(0, 4, (b,)).astype(np.int32),
+        "light_state": rng.randint(0, 4, (b,)).astype(np.int32),
+        "light_dist": rng.rand(b).astype(np.float32),
+        "dis": rng.rand(b).astype(np.float32),
+        "theta": rng.rand(b).astype(np.float32),
+    }
+    _, losses = update(state, shard_batch(batch), jax.random.PRNGKey(2))
+    assert np.isfinite(float(losses["route_geom"]))
+    b2 = dict(batch)
+    x = batch["x"].copy()
+    x[..., 3] = rng.rand(b, 32, 64)
+    b2["x"] = x
+    _, losses2 = update(state, shard_batch(b2), jax.random.PRNGKey(2))
+    t1, t2 = float(losses["total"]), float(losses2["total"])
+    assert abs(t1 - t2) <= 1e-4 * max(1.0, abs(t1))

@@ -67,10 +67,12 @@ def test_output_head_flags():
 
 def test_experiment_zoo_matches_reference_inventory():
     # one record per reference Config/*.py experiment file (40 files)
-    # + the TPU-extension auto_danet_geom entry
-    assert len(EXPERIMENTS) == 41
+    # + the TPU-extension auto_danet_geom / auto_danet_camroute entries
+    assert len(EXPERIMENTS) == 42
     from cadre_tpu.configs.experiments import experiment_params
     assert experiment_params("auto_danet_geom").pred_route_geom
+    cam = experiment_params("auto_danet_camroute")
+    assert cam.in_route_blank and cam.pred_route_geom
     model, i, o, att = EXPERIMENTS["auto_danet"]
     assert (model, i, o, att) == ("danet", 9, 12, "transformer")
     # the paper's CoPM-without-attention ablation is present
