@@ -75,6 +75,11 @@ def main():
     p.add_argument("--baseline", default="BENCH_r2_cascade_blind.json",
                    help="prior blind-route artifact to compare the geom "
                         "arm against")
+    p.add_argument("--camera-route", action="store_true",
+                   help="label the artifact as the camera-route variant "
+                        "(route-raster input plane blanked; route geometry "
+                        "must be perceived from camera pixels) and attach "
+                        "the probe-gate result")
     args = p.parse_args()
     w = args.work_dir
     logs = [os.path.join(w, "driver.log"), os.path.join(w, "driver.log.1")]
@@ -126,9 +131,17 @@ def main():
                          indent=1))
         print(f"wrote {args.out}")
         return
-    variant = "BLIND-ROUTE (dis/theta masked from the policy obs; route " \
-        "geometry only reaches the policy through the camera/route-fig -> " \
-        "encoder path)" if args.blind else "base protocol"
+    if args.camera_route:
+        variant = "CAMERA-ROUTE (route-raster input plane blanked AND " \
+            "dis/theta masked from the policy obs; route geometry must be " \
+            "perceived from the camera's painted ribbon, so a random " \
+            "encoder's projection carries no route signal)"
+    elif args.blind:
+        variant = "BLIND-ROUTE (dis/theta masked from the policy obs; " \
+            "route geometry only reaches the policy through the " \
+            "camera/route-fig -> encoder path)"
+    else:
+        variant = "base protocol"
     out = {
         "experiment": "cascade proof: trained frozen CoPM encoder vs random "
                       "frozen encoder, same PPO config (VERDICT r1 item 2) "
@@ -148,6 +161,10 @@ def main():
         "random_arm": random_,
         "ensemble_eval": ensembles,
     }
+    if args.camera_route:
+        probe_path = os.path.join(w, "latent_probe.json")
+        if os.path.exists(probe_path):
+            out["latent_probe"] = json.load(open(probe_path))
     if trained and random_:
         out["gap_final_third_completion"] = round(
             trained["final_third_completion_mean"]

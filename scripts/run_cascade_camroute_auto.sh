@@ -48,5 +48,9 @@ EOF
     *) echo GATE_FAILED; exit 1 ;;
   esac
   date
+  # Assemble the artifact into the repo so the end-of-round auto-commit
+  # captures it even if no session is attached when the arms finish.
+  python scripts/cascade_artifacts.py --blind --camera-route \
+      --work-dir "$W" --out /root/repo/BENCH_r3_cascade_camroute.json
   echo CAMROUTE_AUTO_DONE
 } >> "$LOG" 2>&1
