@@ -15,6 +15,10 @@ cd /root/repo
 W=${W:-/tmp/cascade_camroute}
 LOG="$W/auto.log"
 mkdir -p "$W"
+# Single-instance guard: a second launch (session handoff, retry) must not
+# double-run the TPU stages or interleave writes into the same work dir.
+exec 9>"$W/.auto.lock"
+flock -n 9 || { echo "ALREADY_RUNNING (holder has $W/.auto.lock)"; exit 0; }
 {
   date
   # Stage 1 is expected to already be running (pidfile /tmp/camroute.pid);
