@@ -26,10 +26,11 @@ def bench_jax(batch: int = 256, iters: int = 30, use_bf16: bool = True):
     iterations (and a single host fetch of a result-dependent scalar)
     measures true device throughput.
 
-    Returns (fps_production, fps_xla_attention, backend): the production
-    config (fused Pallas dual attention in its auto regime) and the same
-    model with XLA-only attention, measured back-to-back in one process so
-    the pair is robust to chip/session variance.
+    Returns (fps_production, fps_pallas_attention, backend): the production
+    config ("auto" attention, currently the XLA einsum path) and the same
+    model with the explicit Pallas dual-attention kernel, measured
+    back-to-back in one process so the pair is robust to chip/session
+    variance.
     """
     import jax
     import jax.numpy as jnp
@@ -61,14 +62,21 @@ def bench_jax(batch: int = 256, iters: int = 30, use_bf16: bool = True):
 
         fn = jax.jit(chained)
         float(fn(variables, x))  # compile + warm (fetch = reliable sync)
-        t0 = time.perf_counter()
-        float(fn(variables, x))
-        dt = (time.perf_counter() - t0) / iters
-        return batch / dt
+        # Median of 3 timed chains: a single sample leaves the fused-vs-XLA
+        # ratio at the mercy of a few % of tunnel/chip variance.
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(variables, x))
+            samples.append((time.perf_counter() - t0) / iters)
+        return batch / float(np.median(samples))
 
+    # Production ("auto") resolves to the XLA attention path since the late
+    # round-2 re-measurement; the explicit-True arm keeps the Pallas kernel
+    # honest in every bench run (see BENCH_NOTES.md).
     fps = measure(danet_params())                         # production (auto)
-    fps_xla = measure(danet_params(use_fused_attention=False))
-    return fps, fps_xla, jax.default_backend()
+    fps_pallas = measure(danet_params(use_fused_attention=True))
+    return fps, fps_pallas, jax.default_backend()
 
 
 def bench_torch_cpu(batch: int = 8, iters: int = 5):
@@ -92,7 +100,7 @@ def bench_torch_cpu(batch: int = 8, iters: int = 5):
 
 
 def main():
-    jax_fps, xla_fps, backend = bench_jax()
+    jax_fps, pallas_fps, backend = bench_jax()
     torch_fps = bench_torch_cpu()
     print(json.dumps({
         "metric": "danet_latent_frames_per_sec_per_chip",
@@ -100,8 +108,8 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(jax_fps / torch_fps, 2),
         "baseline_torch_cpu_fps": round(torch_fps, 1),
-        "xla_attention_fps": round(xla_fps, 1),
-        "fused_attention_speedup": round(jax_fps / xla_fps, 3),
+        "pallas_attention_fps": round(pallas_fps, 1),
+        "fused_attention_speedup": round(pallas_fps / jax_fps, 3),
         "backend": backend,
         "batch": 256,
         "dtype": "bfloat16",

@@ -82,8 +82,9 @@ class DANetParams:
     feat_h: int = 5
     feat_w: int = 8
     # fused PAM+CAM Pallas kernel for the dual-attention head:
-    # True | False | "auto" (auto = only the measured-faster regime —
-    # TPU + bf16 + VMEM-resident block; see BENCH_NOTES.md)
+    # True | False | "auto". "auto" currently resolves to the XLA path —
+    # re-measured late round 2, XLA beats the kernel at every shipped
+    # shape (see BENCH_NOTES.md); the kernel stays behind explicit True.
     use_fused_attention: object = "auto"
 
     @property

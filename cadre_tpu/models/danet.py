@@ -81,22 +81,18 @@ class DANetHead(nn.Module):
 
     out_channels: int
     axis_name: str | None = None
-    # True | False | "auto": auto uses the fused Pallas kernel exactly in
-    # the regime where it measured faster than XLA on v5e — bf16 inputs
-    # with the whole attention block VMEM-resident (x1.14 at the production
-    # batch-256 5x8x128 shape; XLA wins at f32 and at large feature maps,
-    # see BENCH_NOTES.md)
+    # True | False | "auto". As of the late round-2 re-measurement the XLA
+    # einsum path (preferred_element_type=f32) beats the fused Pallas kernel
+    # at the production batch-256 5x8x128 bf16 shape — 0.555 vs 0.689
+    # ms/iter op-level, 35.0k vs 34.5k frames/s end-to-end — so "auto" now
+    # resolves to the XLA path everywhere; the kernel stays available behind
+    # an explicit True for re-evaluation on other chips (see BENCH_NOTES.md).
     use_fused_attention: Any = "auto"
 
     def _resolve_fused(self, feat) -> bool:
         if self.use_fused_attention != "auto":
             return bool(self.use_fused_attention)
-        if jax.default_backend() != "tpu" or feat.dtype != jnp.bfloat16:
-            return False
-        p = feat.shape[1] * feat.shape[2]
-        c = feat.shape[-1]
-        resident = 4 * (5 * p * c + 2 * p * max(c // 8, 8) + p * p + c * c)
-        return resident <= (8 << 20)
+        return False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
