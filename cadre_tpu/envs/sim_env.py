@@ -101,9 +101,16 @@ class SimDrivingEnv(BaseDrivingEnv):
                  with_traffic_lights: bool = True,
                  animate_weather: bool = False,
                  sun_altitude: float = 70.0,
+                 route_legs: int = 3,
+                 route_leg_len: Tuple[float, float] = (40.0, 90.0),
                  **kwargs):
         super().__init__(training=training, **kwargs)
         self._rng = np.random.RandomState(seed)
+        # synthetic-route shape when no routes_file is given: junction-dense
+        # experiments shorten the legs so corner decisions dominate episodes
+        self._route_legs = int(route_legs)
+        self._route_leg_len = (float(route_leg_len[0]),
+                               float(route_leg_len[1]))
         self.render_camera = render_camera
         self.weather = weather or "ClearNoon"
         self._randomize_weather = randomize_weather
@@ -160,7 +167,8 @@ class SimDrivingEnv(BaseDrivingEnv):
             n_walkers = cfg.walker_num or 0
             st = cfg.st or 0
         else:
-            pts = synthetic_route(self._rng)
+            pts = synthetic_route(self._rng, n_legs=self._route_legs,
+                                  leg_len=self._route_leg_len)
             self.route_name = int(self._rng.randint(10_000))
             n_vehicles, n_walkers = self._vehicle_num
             st = 0

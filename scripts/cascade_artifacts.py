@@ -80,6 +80,9 @@ def main():
                         "(route-raster input plane blanked; route geometry "
                         "must be perceived from camera pixels) and attach "
                         "the probe-gate result")
+    p.add_argument("--route-note", default=None,
+                   help="free-text route-distribution note appended to the "
+                        "variant label (e.g. junction-dense legs)")
     args = p.parse_args()
     w = args.work_dir
     logs = [os.path.join(w, "driver.log"), os.path.join(w, "driver.log.1")]
@@ -142,6 +145,8 @@ def main():
             "camera/route-fig -> encoder path)"
     else:
         variant = "base protocol"
+    if args.route_note:
+        variant += f" — {args.route_note}"
     out = {
         "experiment": "cascade proof: trained frozen CoPM encoder vs random "
                       "frozen encoder, same PPO config (VERDICT r1 item 2) "

@@ -57,11 +57,19 @@ def make_sim_env(rank: int, seed: int, blind_route: bool = False,
                randomize_weather=True, rank=rank, **env_kwargs)
 
 
+def _route_shape(args) -> dict:
+    """Synthetic-route shape kwargs shared by collect/rl/eval, so the
+    pretrain data, the RL arms, and the ensemble eval all drive the same
+    route distribution (junction-dense legs shorten corner spacing)."""
+    return {"route_legs": args.route_legs,
+            "route_leg_len": (args.leg_min, args.leg_max)}
+
+
 def phase_collect(args):
     from cadre_tpu.envs.expert import OracleExpert
     from cadre_tpu.perception.data import collect_dataset
 
-    env = make_sim_env(0, args.seed)
+    env = make_sim_env(0, args.seed, **_route_shape(args))
     env.seq_length = 2
     shards = collect_dataset(env, OracleExpert(), args.frames,
                              args.data_dir, seed=args.seed)
@@ -137,7 +145,8 @@ def phase_rl(args):
                               danet_cfg=cfg, danet_vars=danet_vars)
 
     vec = VecDrivingEnv([functools.partial(make_sim_env, k, args.seed,
-                                           blind_route=args.blind_route)
+                                           blind_route=args.blind_route,
+                                           **_route_shape(args))
                          for k in range(args.num_envs)])
     rollout = RolloutConfig(num_steps=args.num_steps,
                             feature_dims=agent.obs_dim)
@@ -192,7 +201,8 @@ def phase_eval(args):
           f"{[os.path.basename(s) for s in snaps]}")
     env = make_sim_env(99, args.seed, blind_route=args.blind_route,
                        training=False,
-                       work_dir=os.path.join(args.work_dir, "eval"))
+                       work_dir=os.path.join(args.work_dir, "eval"),
+                       **_route_shape(args))
     results = evaluate(env, agent, snaps,
                        EvalConfig(eval_episode=args.episodes),
                        seed=args.seed, max_steps=args.max_steps)
@@ -270,6 +280,11 @@ def main():
                         "BENCH_r2_cascade_geom.json: a random projection of "
                         "the clean raster was a sufficient statistic, making "
                         "trained-vs-random insensitive to encoder quality")
+    p.add_argument("--route-legs", type=int, default=3,
+                   help="synthetic-route legs per episode; junction-dense "
+                        "runs raise this so corner decisions dominate")
+    p.add_argument("--leg-min", type=float, default=40.0)
+    p.add_argument("--leg-max", type=float, default=90.0)
     p.add_argument("--encoder", default="/tmp/cascade_proof/encoder.msgpack")
     p.add_argument("--num-envs", type=int, default=8)
     p.add_argument("--num-steps", type=int, default=200)

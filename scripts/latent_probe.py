@@ -26,12 +26,16 @@ import os
 import numpy as np
 
 
-def collect_frames(n_frames: int, seed: int):
+def collect_frames(n_frames: int, seed: int,
+                   route_legs: int = 3,
+                   route_leg_len: tuple = (40.0, 90.0)):
     from cadre_tpu.envs.expert import OracleExpert
     from cadre_tpu.envs.sim_env import SimDrivingEnv
 
     env = SimDrivingEnv(seed=seed, vehicle_num=(6, 6),
-                        randomize_weather=True)
+                        randomize_weather=True,
+                        route_legs=route_legs,
+                        route_leg_len=route_leg_len)
     env.seq_length = 2
     expert = OracleExpert()
     rgb, fig, targets = [], [], []
@@ -173,6 +177,11 @@ def main():
                         "encoding so the probe matches the training input")
     p.add_argument("--cache", default="/tmp/latent_probe_cache.npz",
                    help="npz of latents+targets, reused when present")
+    p.add_argument("--route-legs", type=int, default=3,
+                   help="synthetic-route legs for the probe env (use a "
+                        "shape-specific --cache when changing this)")
+    p.add_argument("--leg-min", type=float, default=40.0)
+    p.add_argument("--leg-max", type=float, default=90.0)
     args = p.parse_args()
 
     import jax
@@ -197,10 +206,14 @@ def main():
         else:   # legacy latents-only cache: unusable, re-collect
             print(f"stale latents-only cache {cache}; re-collecting",
                   flush=True)
-            rgb, fig, targets = collect_frames(args.frames, args.seed)
+            rgb, fig, targets = collect_frames(
+                args.frames, args.seed, args.route_legs,
+                (args.leg_min, args.leg_max))
     else:
         print(f"collecting {args.frames} frames ...", flush=True)
-        rgb, fig, targets = collect_frames(args.frames, args.seed)
+        rgb, fig, targets = collect_frames(
+            args.frames, args.seed, args.route_legs,
+            (args.leg_min, args.leg_max))
     if cache:
         np.savez_compressed(cache, rgb=rgb, fig=fig, targets=targets)
     trained_vars = load_danet_checkpoint(args.encoder, cfg)
