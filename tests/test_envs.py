@@ -319,3 +319,30 @@ def test_sim_env_times_out_when_idle():
         steps += 1
     assert done
     assert msg in ("vehicle blocked", "route completion with 0")
+
+
+def test_synthetic_route_shape_kwargs():
+    rng = np.random.RandomState(0)
+    pts = synthetic_route(rng, n_legs=6, leg_len=(25.0, 45.0))
+    assert pts.shape == (7, 2)
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    assert (seg >= 25.0).all() and (seg <= 45.0).all()
+    # consecutive legs are perpendicular (axis-aligned 90-degree corners,
+    # the contract the turn detector's axis-change heuristic relies on)
+    dirs = np.diff(pts, axis=0)
+    dots = (dirs[:-1] * dirs[1:]).sum(axis=1)
+    assert np.allclose(dots, 0.0)
+
+
+def test_sim_env_route_shape_plumbing():
+    env = SimDrivingEnv(seed=2, seq_length=2, route_legs=6,
+                        route_leg_len=(25.0, 45.0))
+    env.reset()
+    total = float(np.linalg.norm(
+        np.diff(env._route_xy, axis=0), axis=1).sum())
+    # 6 legs of 25-45 m => dense route in [150, 270] m
+    assert 150.0 <= total <= 270.0
+    # the default shape (3 legs of 40-90 m) stays the default
+    env_d = SimDrivingEnv(seed=2, seq_length=2)
+    env_d.reset()
+    assert env_d._route_legs == 3 and env_d._route_leg_len == (40.0, 90.0)
