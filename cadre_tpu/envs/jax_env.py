@@ -1,0 +1,755 @@
+"""Device-resident batched driving environment (pure JAX).
+
+TPU-first counterpart of `SimDrivingEnv`: the WHOLE environment — bicycle
+dynamics, the GPS route-planner window, the route-figure raster, the
+synthetic forward camera, the decomposed steer/throttle reward, and episode
+termination with auto-reset — is a pure function over a `JaxEnvState`
+pytree, batched over N envs and scanned over T steps ON DEVICE. This removes
+the host from the rollout hot path entirely: the 10 Hz sim-lock the
+reference never solved (SURVEY §7 "hard parts"; the reference's workers are
+serialized on CARLA's `world.tick`, env_wrapper.py:857-918) becomes one
+`lax.scan` per training iteration, so PPO env-steps/s is bounded by TPU
+compute, not host IPC.
+
+Behavioral contract (same as SimDrivingEnv, cited to the reference):
+  - dynamics: sim_env.py control mapping (steer -> <=35deg wheel on a 2.9 m
+    wheelbase, throttle ~3.5 m/s^2, brake ~8 m/s^2, 0.08/s drag) at 10 Hz.
+  - planner: leaderboard/team_code/planner.py:312-355 pop-within-4m /
+    50 m-window semantics (including the `argmax(dist * in_range)` pop
+    quirk), over 1 m-dense routes.
+  - route figure: env_wrapper.py:240-344 — width-15 ribbon on a 256x144
+    ego-frame canvas rotated by compass+pi/2 at 3.66 px/m.
+  - reward/termination: env_wrapper.py:361-482 via the same math as
+    cadre_tpu/envs/reward.py (theta grace in turns, obstacle-aware speed
+    shaping, D_max widening, block timeout, overspeed, event table).
+  - camera: SimDrivingEnv._render_rgb — sky/ground split, projected route
+    markers, obstacle blobs, traffic-light heads with the forced
+    green/yellow/red cycle (atomic_criteria.py:1869-1871), weather
+    brightness/noise presets.
+
+Documented divergences from the host env (all small, none touching the
+reward table):
+  - the two-waypoint supplementary-angle theta case (route_fig.py:149-153)
+    and the OutsideRouteLanes criterion are omitted (no lane geometry in the
+    synthetic world); ROUTE_DEVIATION uses the InRoute >30 m test.
+  - adversarial scenario behaviors (ScenarioManager) stay host-side; the
+    device env covers background vehicles/walkers (walkers wander exactly as
+    in SimDrivingEnv._world_step).
+  - VEHICLE_BLOCKED comes from the reward-path 400-step timeout only (it
+    fires at 40 s, long before the 180 s criteria test would).
+  - rgb route markers come from a 64-waypoint window ahead of the planner
+    head (the full-route pass would be visible only behind the ego).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cadre_tpu.envs.route_fig import (
+    LINE_WIDTH,
+    PIXELS_PER_METER,
+    SIZE_X,
+    SIZE_Y,
+)
+from cadre_tpu.envs.sim_env import WEATHER_PRESETS, synthetic_route
+from cadre_tpu.envs.traffic_lights import (
+    CYCLE,
+    GREEN_TIME,
+    YELLOW_TIME,
+    lights_at_route_corners,
+)
+
+# ---------------------------------------------------------------- constants
+
+_H, _W = SIZE_X, SIZE_Y            # camera 144 x 256
+_FH, _FW = SIZE_Y, SIZE_X          # route figure 256 x 144
+_FOCAL = 128.0                     # 90-degree fov at 256 wide
+_CAM_H = 1.3
+_EGO_RADIUS = 1.2
+_MAX_WHEEL = math.radians(35.0)
+_WHEELBASE = 2.9
+
+_WNAMES = list(WEATHER_PRESETS)
+_SKY = np.asarray([WEATHER_PRESETS[n][0] for n in _WNAMES], np.float32)
+_BRIGHT = np.asarray([WEATHER_PRESETS[n][1] for n in _WNAMES], np.float32)
+_NOISE = np.asarray([WEATHER_PRESETS[n][2] for n in _WNAMES], np.float32)
+
+_LIGHT_COLORS = np.asarray(
+    [[40.0, 255.0, 60.0],          # green
+     [255.0, 220.0, 40.0],         # yellow
+     [255.0, 30.0, 30.0]],         # red
+    np.float32)
+
+_FAR = 1.0e8                       # padding sentinel for light positions
+
+
+# ---------------------------------------------------------------- config
+
+@dataclasses.dataclass(frozen=True)
+class JaxEnvConfig:
+    """Static (compile-time) environment configuration."""
+
+    dt: float = 0.1
+    training: bool = True
+    max_block_steps: int = 400
+    window: int = 52               # planner lookahead entries (1 m dense)
+    rgb_window: int = 64           # camera route-marker lookahead entries
+    n_vehicles: int = 6
+    n_walkers: int = 6
+    min_speed: float = 5.0
+    max_speed: float = 9.0
+    target_speed: float = 7.0
+    max_degree: float = 90.0
+    d_max_straight: float = 2.5
+    d_max_turn: float = 5.0
+    d_max_eval: float = 10.0
+    max_offroad: float = 30.0      # InRoute deviation threshold
+    randomize_weather: bool = True
+    render: bool = True            # False: skip rgb/fig (env-core studies)
+
+
+class RouteBank(NamedTuple):
+    """Device-resident episode bank: K padded routes + their lights."""
+
+    routes: jnp.ndarray            # [K, R, 2] f32, padded with the endpoint
+    route_len: jnp.ndarray         # [K] i32
+    route_cum: jnp.ndarray         # [K, R] f32 normalized arc length 0..1
+    lights: jnp.ndarray            # [K, L, 3] f32 (x, y, phase); x=_FAR pad
+
+
+class JaxEnvState(NamedTuple):
+    """Per-env episode state (add a leading batch axis via vmap)."""
+
+    route_id: jnp.ndarray          # i32
+    head: jnp.ndarray              # i32 planner head index
+    progress: jnp.ndarray          # i32 RouteCompletion farthest-index
+    pos: jnp.ndarray               # [2] f32
+    yaw: jnp.ndarray               # f32 degrees
+    speed: jnp.ndarray             # f32 m/s
+    step: jnp.ndarray              # i32 steps since reset
+    last_event_t: jnp.ndarray      # i32 (block-timeout bookkeeping)
+    begin: jnp.ndarray             # i32 1 on the first post-reset step
+    obstacles: jnp.ndarray         # [M, 6] x, y, radius, kind, speed, heading
+    weather: jnp.ndarray           # i32 preset index
+    turn: jnp.ndarray              # [8] TurnState: first_xy, last_xy,
+    #                                first_dir, has_first, has_last, in_turn
+    rng: jnp.ndarray               # per-env PRNG key
+
+
+class StepOutput(NamedTuple):
+    rgb: jnp.ndarray               # [144, 256, 3] f32 0..255
+    route_fig: jnp.ndarray         # [256, 144] f32 {0, 255}
+    measurements: jnp.ndarray      # [3] f32 (speed/max, dis/3, |deg|/90)
+    command: jnp.ndarray           # i32 (always 3 = LANEFOLLOW)
+    rewards: jnp.ndarray           # [2] f32 (steer, throttle)
+    done: jnp.ndarray              # bool
+    action_done: jnp.ndarray       # [2] i32 (steer_done, throttle_done)
+    completion: jnp.ndarray        # f32 route-completion ratio (at `done`)
+    error_code: jnp.ndarray        # i32, see ERROR_CODES
+
+
+ERROR_CODES = {
+    0: "", 1: "collision static", 2: "collision vehicles!",
+    3: "collision pedestrians!", 4: "vehicle blocked", 5: "route deviation",
+    6: "success", 7: "exceed speed",
+}
+
+
+# ---------------------------------------------------------------- bank
+
+def make_route_bank(n_routes: int, seed: int = 0, route_legs: int = 3,
+                    route_leg_len: Tuple[float, float] = (40.0, 90.0),
+                    max_lights: int = 8, pad: int = 80) -> RouteBank:
+    """Host-side episode-bank builder (same synthetic-route generator and
+    corner-light synthesizer as SimDrivingEnv._world_reset)."""
+    from cadre_tpu.envs.route_parser import interpolate_route
+
+    rng = np.random.RandomState(seed)
+    dense_list, lights_list = [], []
+    for _ in range(n_routes):
+        pts = synthetic_route(rng, n_legs=route_legs, leg_len=route_leg_len)
+        dense = interpolate_route(pts, resolution=1.0)
+        dense_list.append(dense)
+        lights = lights_at_route_corners(pts, dense, rng)
+        arr = np.full((max_lights, 3), _FAR, np.float32)
+        for i, li in enumerate(lights[:max_lights]):
+            arr[i] = [li.center[0], li.center[1], li.phase]
+        lights_list.append(arr)
+    # pad past the longest route by `pad` endpoint copies so a window
+    # dynamic_slice at head <= rlen-2 never has to clip its start
+    r_max = max(len(d) for d in dense_list) + pad
+    routes = np.zeros((n_routes, r_max, 2), np.float32)
+    cums = np.ones((n_routes, r_max), np.float32)
+    lens = np.zeros((n_routes,), np.int32)
+    for i, d in enumerate(dense_list):
+        routes[i, :len(d)] = d
+        routes[i, len(d):] = d[-1]
+        seg = np.hypot(*(np.diff(d, axis=0).T))
+        cum = np.concatenate([[0.0], np.cumsum(seg)])
+        cums[i, :len(d)] = cum / max(cum[-1], 1e-6)
+        lens[i] = len(d)
+    return RouteBank(jnp.asarray(routes), jnp.asarray(lens),
+                     jnp.asarray(cums), jnp.asarray(np.stack(lights_list)))
+
+
+# ---------------------------------------------------------------- core math
+
+def _heading(yaw_deg):
+    yaw = jnp.deg2rad(yaw_deg)
+    return jnp.stack([jnp.cos(yaw), jnp.sin(yaw)])
+
+
+def _route_window(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
+                  length: int):
+    """[length, 2] window at the planner head + per-entry validity mask."""
+    route = bank.routes[state.route_id]                    # [R, 2]
+    rlen = bank.route_len[state.route_id]
+    start = jnp.clip(state.head, 0, route.shape[0] - length)
+    w = jax.lax.dynamic_slice(route, (start, 0), (length, 2))
+    valid = (start + jnp.arange(length)) < rlen
+    return w, valid, rlen
+
+
+def _plan_pop(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState
+              ) -> JaxEnvState:
+    """RoutePlanner.run_step pop semantics (planner.py:312-355)."""
+    w, valid, rlen = _route_window(cfg, bank, state, cfg.window)
+    seg = jnp.linalg.norm(w[1:] - w[:-1], axis=-1)
+    seg = jnp.where(valid[1:], seg, 0.0)
+    cum = jnp.cumsum(seg)
+    n_ahead = jnp.searchsorted(cum, 50.0) + 2              # break-step +1
+    idx = jnp.arange(cfg.window - 1) + 1                   # entries 1..W-1
+    dist = jnp.linalg.norm(w[1:] - state.pos[None], axis=-1)
+    in_range = (dist <= 4.0) & (idx < n_ahead) & valid[1:]
+    any_pop = jnp.any(in_range)
+    # reference quirk: pops up to the FARTHEST in-range node (+1)
+    to_pop = jnp.where(any_pop,
+                       jnp.argmax(jnp.where(in_range, dist, -1.0)) + 1, 0)
+    head = jnp.minimum(state.head + to_pop, rlen - 2)      # keep >=2 nodes
+    return state._replace(head=head.astype(jnp.int32))
+
+
+def _scalars(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState):
+    """Per-step scalar geometry: dis, theta, in_turn, off-route distance,
+    completion, plus the raster window (reused by the renderers)."""
+    w, valid, rlen = _route_window(cfg, bank, state, cfg.window)
+    # route_list truncation at 50 m cumulative (planner.py:341-350)
+    seg = jnp.linalg.norm(w[1:] - w[:-1], axis=-1)
+    seg = jnp.where(valid[1:], seg, 0.0)
+    cum = jnp.cumsum(seg)
+    n_list = jnp.searchsorted(cum, 50.0) + 2
+    list_mask = (jnp.arange(cfg.window) < n_list) & valid
+
+    # `dis` = Euclidean distance to the near node, zeroed below 0.5 m
+    # (route_fig.heading_error / env_wrapper.py:484-561; the perpendicular
+    # distance only replaces it in the two-waypoint endgame we omit)
+    p0, p1 = w[0], w[1]
+    dis = jnp.linalg.norm(p0 - state.pos)
+    dis = jnp.where(dis < 0.5, 0.0, dis)
+
+    # heading error (route_fig.heading_error; far node = first distinct)
+    fwd = _heading(state.yaw)
+    v2 = p1 - state.pos
+    n2 = jnp.linalg.norm(v2)
+    cosang = jnp.clip(jnp.dot(fwd, v2) / jnp.maximum(n2, 1e-9), -1.0, 1.0)
+    theta = jnp.where(n2 > 1e-9, jnp.arccos(cosang), 0.0)
+
+    # InRoute: distance to the nearest upcoming waypoint
+    d_all = jnp.linalg.norm(w - state.pos[None], axis=-1)
+    off_route = jnp.min(jnp.where(valid, d_all, jnp.inf))
+
+    return dict(w=w, list_mask=list_mask, dis=dis, theta=theta,
+                off_route=off_route)
+
+
+def _update_progress(bank: RouteBank, state: JaxEnvState,
+                     terminate_pct: float = 99.0):
+    """RouteCompletionCriterion (atomic_criteria.py:1731-1835 via
+    criteria.py): advance the farthest dense-route index within 10 m over a
+    50-entry lookahead; completion = normalized arc length; ROUTE_COMPLETED
+    at >= terminate_pct percent."""
+    route = bank.routes[state.route_id]
+    rlen = bank.route_len[state.route_id]
+    start = state.progress
+    w = jax.lax.dynamic_slice(route, (start, 0), (50, 2))
+    valid = (start + jnp.arange(50)) < rlen
+    d = jnp.linalg.norm(w - state.pos[None], axis=-1)
+    close = (d < 10.0) & valid
+    last_close = jnp.where(
+        jnp.any(close), 49 - jnp.argmax(close[::-1]), 0)
+    progress = jnp.minimum(start + last_close, rlen - 1).astype(jnp.int32)
+    completion = bank.route_cum[state.route_id, progress]
+    completed = completion >= terminate_pct / 100.0
+    completion = jnp.where(completed, 1.0, completion)
+    return state._replace(progress=progress), completion, completed
+
+
+def _update_turn(state: JaxEnvState, w, list_mask) -> JaxEnvState:
+    """route_fig.update_turn_state (env_wrapper.py:302-343), exact port:
+    a scan over the window nodes advancing `turn_pre` on significant
+    (|dx|>=1 AND |dy|>=1 cumulative) nodes; first/last corner nodes and the
+    in_turn flag persist in state.turn across steps."""
+    t = state.turn
+    first, last = t[0:2], t[2:4]
+    first_dir, has_first, has_last = t[4], t[5], t[6]
+    in_turn = t[7]
+
+    def body(carry, x):
+        turn_pre, first, last, first_dir, has_first, has_last = carry
+        cur, ok = x
+        d = jnp.abs(cur - turn_pre)
+        sig = ok & (d[0] >= 1.0) & (d[1] >= 1.0)
+        direction = (d[0] >= d[1]).astype(jnp.float32)     # 0 iff dx < dy
+        take_first = sig & (has_first < 0.5)
+        take_last = sig & (has_first >= 0.5)
+        first = jnp.where(take_first, cur, first)
+        first_dir = jnp.where(take_first, direction, first_dir)
+        has_first = jnp.maximum(has_first, take_first.astype(jnp.float32))
+        last = jnp.where(take_last, cur, last)
+        has_last = jnp.maximum(has_last, take_last.astype(jnp.float32))
+        turn_pre = jnp.where(sig, cur, turn_pre)
+        return (turn_pre, first, last, first_dir, has_first, has_last), None
+
+    carry = (w[0], first, last, first_dir, has_first, has_last)
+    (_, first, last, first_dir, has_first, has_last), _ = jax.lax.scan(
+        body, carry, (w, list_mask))
+
+    has_both = (has_first >= 0.5) & (has_last >= 0.5)
+    middle = jnp.where(first_dir < 0.5,
+                       jnp.stack([last[0], first[1]]),
+                       jnp.stack([first[0], last[1]]))
+    turn_dis = jnp.linalg.norm(middle - state.pos)
+    max_dis = jnp.maximum(jnp.linalg.norm(middle - first),
+                          jnp.linalg.norm(middle - last))
+    near = turn_dis < max_dis + 6.0
+    enter = has_both & near
+    leave = has_both & ~near & (in_turn >= 0.5)
+    new_in = jnp.where(enter, 1.0, jnp.where(leave, 0.0, in_turn))
+    reset = leave
+    zero2 = jnp.zeros(2, jnp.float32)
+    first = jnp.where(reset, zero2, first)
+    last = jnp.where(reset, zero2, last)
+    first_dir = jnp.where(reset, 0.0, first_dir)
+    has_first = jnp.where(reset, 0.0, has_first)
+    has_last = jnp.where(reset, 0.0, has_last)
+    turn = jnp.concatenate([first, last,
+                            jnp.stack([first_dir, has_first, has_last,
+                                       new_in])])
+    return state._replace(turn=turn.astype(jnp.float32))
+
+
+def _nearest_obstacle_ahead(state: JaxEnvState):
+    """Forward obstacle distance within the 11 m cone, else -1
+    (env_wrapper.py:832-837 / SimDrivingEnv._nearest_obstacle_ahead)."""
+    fwd = _heading(state.yaw)
+    rel = state.obstacles[:, :2] - state.pos[None]
+    dist = jnp.linalg.norm(rel, axis=-1)
+    ahead = rel @ fwd
+    lateral = jnp.abs(rel[:, 0] * fwd[1] - rel[:, 1] * fwd[0])
+    ok = (dist <= 11.0) & (dist > 1e-6) & (ahead > 0.0) & (lateral < 1.5)
+    best = jnp.min(jnp.where(ok, dist, jnp.inf))
+    return jnp.where(jnp.isfinite(best), best, -1.0)
+
+
+def _physics(cfg: JaxEnvConfig, state: JaxEnvState, control: jnp.ndarray
+             ) -> Tuple[JaxEnvState, jnp.ndarray]:
+    """One dynamics tick (SimDrivingEnv._world_step). Returns (state,
+    collision[3] bool: static, vehicle, walker)."""
+    steer = jnp.clip(control[0], -1.0, 1.0)
+    throttle = jnp.clip(control[1], 0.0, 1.0)
+    brake = jnp.clip(control[2], 0.0, 1.0)
+    accel = 3.5 * throttle - 8.0 * brake - 0.08 * state.speed
+    speed = jnp.maximum(0.0, state.speed + accel * cfg.dt)
+    wheel = steer * _MAX_WHEEL
+    yaw_rate = speed / _WHEELBASE * jnp.tan(wheel)
+    yaw = state.yaw + jnp.rad2deg(yaw_rate * cfg.dt)
+    pos = state.pos + _heading(yaw) * speed * cfg.dt
+
+    obs = state.obstacles
+    mover = (obs[:, 4] > 0)                                # walkers wander
+    delta = obs[:, 4:5] * cfg.dt * jnp.stack(
+        [jnp.cos(obs[:, 5]), jnp.sin(obs[:, 5])], axis=-1)
+    new_xy = jnp.where(mover[:, None], obs[:, :2] + delta, obs[:, :2])
+    obs = obs.at[:, :2].set(new_xy)
+
+    d = jnp.linalg.norm(obs[:, :2] - pos[None], axis=-1)
+    hit = d < obs[:, 2] + _EGO_RADIUS
+    kind = obs[:, 3].astype(jnp.int32)
+    collision = jnp.stack([jnp.any(hit & (kind == 2)),
+                           jnp.any(hit & (kind == 0)),
+                           jnp.any(hit & (kind == 1))])
+    return state._replace(pos=pos, yaw=yaw, speed=speed, obstacles=obs,
+                          step=state.step + 1), collision
+
+
+def _reward_step(cfg: JaxEnvConfig, state: JaxEnvState, scal, collision,
+                 obstacle, route_completed):
+    """compute_reward (env_wrapper.py:361-482) as branch-free jnp math."""
+    nz = jnp.asarray(0.0)
+    begin = state.begin > 0
+    in_turn = state.turn[7] >= 0.5
+
+    coll_static = collision[0] & ~begin
+    coll_vehicle = collision[1] & ~begin
+    coll_walker = collision[2] & ~begin
+    deviation = (scal["off_route"] > cfg.max_offroad) & ~begin
+    completed = route_completed & ~begin
+
+    steer_ev = (-1.0 * coll_static - 1.0 * deviation + 5.0 * completed)
+    throttle_ev = (-1.0 * (coll_vehicle | coll_walker) + 5.0 * completed)
+
+    done = (coll_vehicle | coll_walker | deviation | completed
+            | (coll_static & cfg.training))
+    steer_done = coll_static | deviation | completed
+    throttle_done = coll_vehicle | coll_walker | completed
+
+    # error codes, later writers win as in the sequential reference checks
+    err = jnp.asarray(0, jnp.int32)
+    err = jnp.where(coll_static, 1, err)
+    err = jnp.where(coll_vehicle, 2, err)
+    err = jnp.where(coll_walker, 3, err)
+    err = jnp.where(deviation, 5, err)
+    err = jnp.where(completed, 6, err)
+
+    # theta reward with the 30-degree in-turn grace
+    degree = jnp.abs(jnp.rad2deg(scal["theta"]))
+    degree = jnp.where(in_turn, jnp.maximum(nz, degree - 30.0), degree)
+    theta_r = jnp.maximum(nz, 1.0 - degree / cfg.max_degree)
+
+    # overspeed
+    over = state.speed > cfg.max_speed
+    throttle_ev = throttle_ev - over.astype(jnp.float32)
+    throttle_done = throttle_done | over
+    done = done | (over & cfg.training)
+    err = jnp.where(over & cfg.training & (err == 0), 7, err)
+
+    # obstacle-aware speed shaping
+    detect = (obstacle > -1.0) & (obstacle < 12.0)
+    tgt = jnp.maximum(nz, obstacle - 5.0)
+    shaped = 1.0 - jnp.maximum(state.speed - tgt, nz) / \
+        jnp.maximum(cfg.max_speed - tgt, 1e-9)
+    shaped = jnp.where(obstacle < 5.0,
+                       jnp.where(state.speed > 0.1, -1.0, 1.0), shaped)
+    slow = state.speed / cfg.min_speed
+    fast = jnp.maximum(nz, 1.0 - (state.speed - cfg.target_speed)
+                       / (cfg.max_speed - cfg.target_speed))
+    speed_r = jnp.where(
+        detect, shaped,
+        jnp.where(state.speed < cfg.min_speed, slow,
+                  jnp.where(state.speed > cfg.target_speed, fast, 1.0)))
+
+    # deviation reward
+    d_max = jnp.where(in_turn, cfg.d_max_turn, cfg.d_max_straight)
+    d_max = jnp.where(jnp.asarray(cfg.training), d_max, cfg.d_max_eval)
+    deviation_r = jnp.maximum(nz, 1.0 - scal["dis"] / d_max)
+
+    # block timeout (speed<1 for max_block_steps)
+    last_t = jnp.where(detect, state.step, state.last_event_t)
+    blocked = (state.speed < 1.0) & \
+        ((state.step - last_t) > cfg.max_block_steps)
+    done = done | blocked
+    throttle_ev = throttle_ev - 2.0 * blocked.astype(jnp.float32)
+    throttle_done = throttle_done | blocked
+    err = jnp.where(blocked & (err == 0), 4, err)
+    had_event = coll_static | coll_vehicle | coll_walker | deviation \
+        | completed | blocked
+    last_t = jnp.where(had_event | (state.speed > 1.0), state.step, last_t)
+
+    rewards = jnp.stack([(deviation_r + theta_r) / 2.0 + steer_ev,
+                         speed_r + throttle_ev])
+    action_done = jnp.stack([steer_done, throttle_done]).astype(jnp.int32)
+    new_state = state._replace(last_event_t=last_t.astype(jnp.int32),
+                               begin=jnp.asarray(0, jnp.int32))
+    return new_state, rewards, done, action_done, err
+
+
+# ---------------------------------------------------------------- rendering
+
+def _splat_chunked(base, cx, cy, r2, value, chunk: int = 8):
+    """OR a set of disks (centers [S], squared radii [S]) into `base`
+    [H, W]; scanned in chunks so the [H, W, chunk] mask stays small."""
+    h, w = base.shape
+    s = cx.shape[0]
+    pad = (-s) % chunk
+    cx = jnp.pad(cx, (0, pad), constant_values=-1e6)
+    cy = jnp.pad(cy, (0, pad), constant_values=-1e6)
+    r2 = jnp.pad(r2, (0, pad), constant_values=0.0)
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :, None]
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None, None]
+
+    def body(img, args):
+        cxc, cyc, r2c = args
+        m = ((xx - cxc[None, None]) ** 2
+             + (yy - cyc[None, None]) ** 2) <= r2c[None, None]
+        return jnp.where(jnp.any(m, axis=-1), value, img), None
+
+    n = cx.shape[0] // chunk
+    img, _ = jax.lax.scan(
+        body, base, (cx.reshape(n, chunk), cy.reshape(n, chunk),
+                     r2.reshape(n, chunk)))
+    return img
+
+
+def _render_fig(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
+                scal) -> jnp.ndarray:
+    """Route-figure raster [256, 144] (env_wrapper.py:240-344 via the
+    ribbon-of-disks equivalence in route_fig.rasterize_polyline)."""
+    w_pts, mask = scal["w"], scal["list_mask"]
+    c = jnp.deg2rad(state.yaw) + jnp.pi / 2
+    rot = jnp.asarray([[jnp.cos(c), jnp.sin(c)],
+                       [-jnp.sin(c), jnp.cos(c)]]).T   # pts @ R as route_fig
+    px = PIXELS_PER_METER * ((w_pts - state.pos[None]) @ rot)
+    px = px + jnp.asarray([_FW / 2.0, _FH / 2.0])
+    # two interpolated samples per 1 m segment (~1.8 px spacing)
+    a, b = px[:-1], px[1:]
+    seg_ok = mask[:-1] & mask[1:]
+    mid = (a + b) / 2.0
+    centers = jnp.concatenate([px[:1], mid, b])
+    ok = jnp.concatenate([mask[:1], seg_ok, seg_ok])
+    cx = jnp.where(ok, centers[:, 0], -1e6)
+    cy = jnp.where(ok, centers[:, 1], -1e6)
+    r2 = jnp.full(cx.shape, (LINE_WIDTH / 2.0) ** 2, jnp.float32)
+    fig = jnp.zeros((_FH, _FW), jnp.float32)
+    return _splat_chunked(fig, cx, cy, r2, 255.0)
+
+
+def _rect_scan(img, u0, u1, v0, v1, colors, valid):
+    """Paint axis-aligned rects [S] (u0<=x<u1, v0<=y<v1) with per-rect
+    colors [S, 3] into img [H, W, 3], sequential order preserved."""
+    h, w = img.shape[:2]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+
+    def body(im, args):
+        a0, a1, b0, b1, col, ok = args
+        m = (xx >= a0) & (xx < a1) & (yy >= b0) & (yy < b1) & ok
+        return jnp.where(m[..., None], col[None, None], im), None
+
+    img, _ = jax.lax.scan(body, img, (u0, u1, v0, v1, colors, valid))
+    return img
+
+
+def _render_rgb(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
+                key) -> jnp.ndarray:
+    """Forward camera [144, 256, 3] f32 0..255 (SimDrivingEnv._render_rgb)."""
+    h, w = _H, _W
+    horizon = h // 2
+    sky = jnp.asarray(_SKY)[state.weather]
+    bright = jnp.asarray(_BRIGHT)[state.weather]
+    noise_std = jnp.asarray(_NOISE)[state.weather]
+
+    yy = jnp.arange(h)[:, None, None]
+    img = jnp.where(yy < horizon, sky[None, None],
+                    jnp.asarray([90.0, 90.0, 90.0])[None, None])
+    img = jnp.broadcast_to(img, (h, w, 3)).astype(jnp.float32)
+
+    yawr = jnp.deg2rad(state.yaw)
+    cos_y, sin_y = jnp.cos(yawr), jnp.sin(yawr)
+
+    def to_cam(p):
+        rel = p - state.pos[None]
+        xf = rel[:, 0] * cos_y + rel[:, 1] * sin_y
+        yl = -rel[:, 0] * sin_y + rel[:, 1] * cos_y
+        return xf, yl
+
+    # route markers: every 2nd waypoint of a 64-entry window ahead
+    wnd, valid, _ = _route_window(cfg, bank, state, cfg.rgb_window)
+    pts = wnd[::2]
+    pvalid = valid[::2]
+    xf, yl = to_cam(pts)
+    vis = (xf >= 1.0) & (xf <= 60.0) & pvalid
+    xf_s = jnp.maximum(xf, 1e-3)
+    us = w / 2.0 - _FOCAL * yl / xf_s
+    vs = horizon + _FOCAL * _CAM_H / xf_s
+    rs = jnp.maximum(1.0, jnp.floor(24.0 / xf_s))
+    on = vis & (us >= 0) & (us < w) & (vs >= 0) & (vs < h)
+    cx = jnp.where(on, us, -1e6)
+    cy = jnp.where(on, vs, -1e6)
+    # square stamps ~ disks of the same half-size on this canvas
+    road_mask = _splat_chunked(jnp.zeros((h, w), jnp.float32), cx, cy,
+                               rs * rs, 1.0)
+    img = jnp.where(road_mask[..., None] > 0,
+                    jnp.asarray([200.0, 200.0, 200.0])[None, None], img)
+
+    # obstacle blobs: color by kind, rect [v-2r, v) x [u-r, u+r)
+    ob = state.obstacles
+    xf, yl = to_cam(ob[:, :2])
+    okd = (xf >= 1.0) & (xf <= 60.0)
+    xf_s = jnp.maximum(xf, 1e-3)
+    u = w / 2.0 - _FOCAL * yl / xf_s
+    v = horizon + _FOCAL * _CAM_H / xf_s
+    okd = okd & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    r = jnp.maximum(2.0, jnp.floor(_FOCAL * ob[:, 2] / xf_s))
+    is_walker = ob[:, 3].astype(jnp.int32) == 1
+    col = jnp.where(is_walker[:, None],
+                    jnp.asarray([40.0, 40.0, 200.0])[None],
+                    jnp.asarray([200.0, 40.0, 40.0])[None])
+    img = _rect_scan(img, u - r, u + r, v - 2 * r, v, col, okd)
+
+    # traffic lights: head box + pole, forced short cycle
+    lights = bank.lights[state.route_id]                   # [L, 3]
+    lvalid = lights[:, 0] < _FAR / 2
+    t = state.step.astype(jnp.float32) * cfg.dt
+    u_cyc = (t + lights[:, 2]) % CYCLE
+    phase = jnp.where(u_cyc < GREEN_TIME, 0,
+                      jnp.where(u_cyc < GREEN_TIME + YELLOW_TIME, 1, 2))
+    xf, yl = to_cam(lights[:, :2])
+    okl = (xf >= 1.5) & (xf <= 60.0) & lvalid
+    xf_s = jnp.maximum(xf, 1e-3)
+    u = w / 2.0 - _FOCAL * yl / xf_s
+    v = horizon - _FOCAL * (5.0 - _CAM_H) / xf_s
+    okl = okl & (u >= 0) & (u < w)
+    r = jnp.maximum(2.0, jnp.floor(_FOCAL * 0.6 / xf_s))
+    vg = horizon + _FOCAL * _CAM_H / xf_s
+    lcol = jnp.asarray(_LIGHT_COLORS)[phase]
+    pole = jnp.broadcast_to(jnp.asarray([60.0, 60.0, 60.0]),
+                            lcol.shape)
+    # pole first, then the head box on top of it
+    img = _rect_scan(img, u - 1.0, u + 1.0, v + r, vg, pole, okl)
+    img = _rect_scan(img, u - r, u + r, v - r, v + r, lcol, okl)
+
+    # weather: ground brightness + sensor noise
+    ground = yy >= horizon
+    img = jnp.where(ground, img * bright, img)
+    noise = jax.random.normal(key, (h, w, 3)) * noise_std
+    img = jnp.clip(img + noise, 0.0, 255.0)
+    return img
+
+
+# ---------------------------------------------------------------- lifecycle
+
+def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key) -> JaxEnvState:
+    """Fresh episode (SimDrivingEnv._world_reset over the device bank)."""
+    k_route, k_obs, k_weather, k_state = jax.random.split(key, 4)
+    n_routes = bank.routes.shape[0]
+    route_id = jax.random.randint(k_route, (), 0, n_routes)
+    route = bank.routes[route_id]
+    rlen = bank.route_len[route_id]
+    start = route[0]
+    d0 = route[jnp.minimum(3, rlen - 1)] - start
+    yaw = jnp.rad2deg(jnp.arctan2(d0[1], d0[0]))
+
+    # at least one (inert, far-away) obstacle row so the collision and
+    # obstacle-cone reductions never run over a zero-length axis
+    m = max(cfg.n_vehicles + cfg.n_walkers, 1)
+    keys = jax.random.split(k_obs, 4)
+    lo = rlen // 4
+    idx = jax.random.randint(keys[0], (m,), 0, 1 << 30) % \
+        jnp.maximum(rlen - lo, 1) + lo
+    base = route[idx]
+    lat_v = jax.random.uniform(keys[1], (m, 2), minval=-1.0, maxval=1.0)
+    lat_w = jax.random.uniform(keys[1], (m, 2), minval=-3.0, maxval=3.0)
+    is_walker = jnp.arange(m) >= cfg.n_vehicles
+    pos = base + jnp.where(is_walker[:, None], lat_w, lat_v)
+    radius = jnp.where(is_walker, 0.4, 1.2)
+    kind = jnp.where(is_walker, 1, 0).astype(jnp.float32)
+    w_speed = jax.random.uniform(keys[2], (m,), minval=0.3, maxval=1.2)
+    speed = jnp.where(is_walker, w_speed, 0.0)
+    heading = jax.random.uniform(keys[3], (m,), minval=0.0,
+                                 maxval=2.0 * jnp.pi)
+    real = jnp.arange(m) < (cfg.n_vehicles + cfg.n_walkers)
+    pos = jnp.where(real[:, None], pos, 1.0e7)
+    radius = jnp.where(real, radius, 0.0)
+    speed = jnp.where(real, speed, 0.0)
+    obstacles = jnp.stack(
+        [pos[:, 0], pos[:, 1], radius, kind, speed, heading], axis=-1)
+
+    weather = jnp.where(
+        jnp.asarray(cfg.randomize_weather),
+        jax.random.randint(k_weather, (), 0, len(_WNAMES)),
+        jnp.asarray(0))
+    return JaxEnvState(
+        route_id=route_id.astype(jnp.int32),
+        head=jnp.asarray(0, jnp.int32), progress=jnp.asarray(0, jnp.int32),
+        pos=start.astype(jnp.float32),
+        yaw=yaw.astype(jnp.float32), speed=jnp.asarray(0.0, jnp.float32),
+        step=jnp.asarray(0, jnp.int32),
+        last_event_t=jnp.asarray(0, jnp.int32),
+        begin=jnp.asarray(1, jnp.int32), obstacles=obstacles,
+        weather=weather.astype(jnp.int32),
+        turn=jnp.zeros(8, jnp.float32), rng=k_state)
+
+
+def _observe(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState, scal,
+             key) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    meas = jnp.stack([state.speed / cfg.max_speed, scal["dis"] / 3.0,
+                      jnp.abs(jnp.rad2deg(scal["theta"])) / 90.0])
+    if not cfg.render:
+        return (jnp.zeros((_H, _W, 3), jnp.float32),
+                jnp.zeros((_FH, _FW), jnp.float32), meas)
+    rgb = _render_rgb(cfg, bank, state, key)
+    fig = _render_fig(cfg, bank, state, scal)
+    return rgb, fig, meas
+
+
+def _step_one(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
+              control: jnp.ndarray) -> Tuple[JaxEnvState, StepOutput]:
+    """One env tick with auto-reset; `control` = [steer, throttle, brake]."""
+    rng, k_reset, k_noise = jax.random.split(state.rng, 3)
+    state = state._replace(rng=rng)
+
+    stepped, collision = _physics(cfg, state, control)
+    stepped = _plan_pop(cfg, bank, stepped)
+    scal = _scalars(cfg, bank, stepped)
+    stepped = _update_turn(stepped, scal["w"], scal["list_mask"])
+    stepped, completion, route_completed = _update_progress(bank, stepped)
+    obstacle = _nearest_obstacle_ahead(stepped)
+    stepped, rewards, done, action_done, err = _reward_step(
+        cfg, stepped, scal, collision, obstacle, route_completed)
+
+    fresh = _plan_pop(cfg, bank, _reset_one(cfg, bank, k_reset))
+    nxt = jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, stepped)
+    scal_n = _scalars(cfg, bank, nxt)
+    rgb, fig, meas = _observe(cfg, bank, nxt, scal_n, k_noise)
+
+    return nxt, StepOutput(
+        rgb=rgb, route_fig=fig, measurements=meas,
+        command=jnp.asarray(3, jnp.int32), rewards=rewards, done=done,
+        action_done=action_done, completion=completion, error_code=err)
+
+
+# ---------------------------------------------------------------- public API
+
+class JaxDrivingEnv:
+    """Batched device-resident env over a RouteBank.
+
+    reset(key) -> (state, obs-dict); step(state, controls) -> (state,
+    StepOutput) with every leaf batched [N, ...]. Both are pure and jit/scan
+    composable; `step` auto-resets finished envs (the returned obs is the
+    FIRST frame of the fresh episode, so rollout loops reset policy
+    hidden/history wherever `done`).
+    """
+
+    def __init__(self, bank: RouteBank, num_envs: int,
+                 config: JaxEnvConfig = JaxEnvConfig()):
+        self.bank = bank
+        self.num_envs = num_envs
+        self.cfg = config
+        cfg = config
+
+        def _reset(key):
+            keys = jax.random.split(key, num_envs)
+            state = jax.vmap(lambda k: _plan_pop(
+                cfg, bank, _reset_one(cfg, bank, k)))(keys)
+
+            def obs_one(s):
+                rng, k_noise = jax.random.split(s.rng)
+                s = s._replace(rng=rng)
+                scal = _scalars(cfg, bank, s)
+                rgb, fig, meas = _observe(cfg, bank, s, scal, k_noise)
+                return s, dict(rgb=rgb, route_fig=fig, measurements=meas,
+                               command=jnp.asarray(3, jnp.int32))
+
+            return jax.vmap(obs_one)(state)
+
+        def _step(state, controls):
+            return jax.vmap(lambda s, c: _step_one(cfg, bank, s, c))(
+                state, controls)
+
+        self.reset = jax.jit(_reset)
+        self.step = jax.jit(_step)

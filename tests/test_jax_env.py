@@ -1,0 +1,186 @@
+"""Device-resident JaxDrivingEnv: parity vs the host SimDrivingEnv and
+scan-composability (cadre_tpu/envs/jax_env.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cadre_tpu.envs.jax_env import (
+    JaxDrivingEnv,
+    JaxEnvConfig,
+    RouteBank,
+    _step_one,
+    make_route_bank,
+)
+
+
+def _bank_from_sim(sim) -> RouteBank:
+    """Single-route bank holding exactly the host env's dense route."""
+    dense = sim._route_xy.astype(np.float32)
+    n = len(dense)
+    routes = np.zeros((1, n + 80, 2), np.float32)
+    routes[0, :n] = dense
+    routes[0, n:] = dense[-1]
+    seg = np.hypot(*(np.diff(dense, axis=0).T))
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    cum /= cum[-1]
+    cums = np.ones((1, n + 80), np.float32)
+    cums[0, :n] = cum
+    return RouteBank(jnp.asarray(routes), jnp.asarray([n], np.int32),
+                     jnp.asarray(cums),
+                     jnp.asarray(np.full((1, 8, 3), 1e8, np.float32)))
+
+
+def test_bank_and_reset_shapes():
+    bank = make_route_bank(3, seed=1)
+    assert bank.routes.shape[0] == 3
+    assert bank.route_cum.shape == bank.routes.shape[:2]
+    env = JaxDrivingEnv(bank, num_envs=2,
+                        config=JaxEnvConfig(render=False))
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs["rgb"].shape == (2, 144, 256, 3)
+    assert obs["route_fig"].shape == (2, 256, 144)
+    assert obs["measurements"].shape == (2, 3)
+    assert state.pos.shape == (2, 2)
+    # measurements start at rest on the route
+    np.testing.assert_allclose(np.asarray(obs["measurements"][:, 0]), 0.0)
+
+
+@pytest.mark.slow
+def test_parity_vs_sim_env_full_route():
+    """Expert-driven full route: per-step measurements and decomposed
+    rewards must track the host env to ~1e-3, the turn-grace flag must
+    agree, and both must terminate on the same step with 'success'."""
+    from cadre_tpu.envs.expert import OracleExpert
+    from cadre_tpu.envs.sim_env import SimDrivingEnv
+
+    sim = SimDrivingEnv(seed=0, vehicle_num=(0, 0),
+                        with_traffic_lights=False, weather="ClearNoon",
+                        seq_length=1)
+    tick = sim.reset()
+    bank = _bank_from_sim(sim)
+    cfg = JaxEnvConfig(n_vehicles=0, n_walkers=0, randomize_weather=False,
+                       render=False)
+    env = JaxDrivingEnv(bank, num_envs=1, config=cfg)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    expert = OracleExpert()
+    turn_sim = turn_jax = 0
+    for t in range(1200):
+        a = expert.act(sim, tick)
+        tick, rew, done, info = sim.step(a)
+        state, out = env.step(state, jnp.asarray([np.asarray(a, np.float32)]))
+        turn_sim += int(sim._turn_state.in_turn)
+        turn_jax += int(state.turn[0, 7] >= 0.5)
+        jdone = bool(out.done[0])
+        if done or jdone:
+            assert done and jdone, (t, info, int(out.error_code[0]))
+            assert info["error_message"] == "success"
+            assert int(out.error_code[0]) == 6
+            assert float(out.completion[0]) == 1.0
+            np.testing.assert_allclose(np.asarray(out.rewards[0]), rew,
+                                       atol=1e-3)
+            break
+        np.testing.assert_allclose(
+            np.asarray(out.measurements[0]),
+            np.asarray(tick["last_measurements"]), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(out.rewards[0]), rew,
+                                   atol=2e-3)
+    else:
+        pytest.fail("route never completed")
+    assert turn_sim == turn_jax
+
+
+@pytest.mark.slow
+def test_render_parity_vs_sim_env():
+    """Route-figure IoU and camera mean-abs-diff against the host
+    renderers at matched states."""
+    from cadre_tpu.envs.expert import OracleExpert
+    from cadre_tpu.envs.sim_env import SimDrivingEnv
+
+    sim = SimDrivingEnv(seed=0, vehicle_num=(0, 0),
+                        with_traffic_lights=False, weather="ClearNoon",
+                        seq_length=1)
+    tick = sim.reset()
+    bank = _bank_from_sim(sim)
+    cfg = JaxEnvConfig(n_vehicles=0, n_walkers=0, randomize_weather=False)
+    env = JaxDrivingEnv(bank, num_envs=1, config=cfg)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    expert = OracleExpert()
+    for t in range(90):
+        a = expert.act(sim, tick)
+        tick, _, done, _ = sim.step(a)
+        state, out = env.step(state, jnp.asarray([np.asarray(a, np.float32)]))
+        if t % 30 == 0:
+            hf = np.asarray(tick["last_route_fig"]) > 127
+            jf = np.asarray(out.route_fig[0]) > 127
+            iou = (hf & jf).sum() / max((hf | jf).sum(), 1)
+            assert iou > 0.9, (t, iou)
+            rgb_diff = np.abs(np.asarray(tick["last_rgb"], np.float32)
+                              - np.asarray(out.rgb[0])).mean()
+            assert rgb_diff < 8.0, (t, rgb_diff)
+        if done:
+            break
+
+
+def test_scan_composability_and_overspeed():
+    """A whole batched rollout in ONE lax.scan; constant full throttle must
+    terminate with 'exceed speed' (code 7) and auto-reset."""
+    bank = make_route_bank(4, seed=2)
+    cfg = JaxEnvConfig(n_vehicles=0, n_walkers=0, render=False)
+    env = JaxDrivingEnv(bank, num_envs=2, config=cfg)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+
+    def body(st, _):
+        controls = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (2, 1))
+        st, out = jax.vmap(lambda s, c: _step_one(cfg, bank, s, c))(
+            st, controls)
+        return st, (out.done, out.error_code, out.measurements)
+
+    state2, (done, err, meas) = jax.jit(
+        lambda st: jax.lax.scan(body, st, None, length=80))(state)
+    done = np.asarray(done)
+    assert done.any()
+    first = np.argwhere(done)[0]
+    assert int(np.asarray(err)[first[0], first[1]]) == 7
+    # auto-reset: the done step's obs already belongs to the fresh episode,
+    # so speed snaps back near zero from the >9 m/s overspeed
+    speeds = np.asarray(meas)[:, :, 0] * 9.0
+    t, n = first
+    assert speeds[t - 1, n] > 8.0
+    assert speeds[t, n] < 1.0
+
+
+def test_collision_and_blocked_codes():
+    bank = make_route_bank(2, seed=4)
+    cfg = JaxEnvConfig(n_vehicles=0, n_walkers=0, render=False,
+                       max_block_steps=15)
+    env = JaxDrivingEnv(bank, num_envs=1, config=cfg)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    # inject a vehicle obstacle 3 m directly ahead
+    fwd = np.array([np.cos(np.deg2rad(float(state.yaw[0]))),
+                    np.sin(np.deg2rad(float(state.yaw[0])))])
+    ob = np.array(state.obstacles)            # [N=1, M=1, 6]
+    ob[0, 0, 0] = np.asarray(state.pos[0])[0] + 3 * fwd[0]
+    ob[0, 0, 1] = np.asarray(state.pos[0])[1] + 3 * fwd[1]
+    ob[0, 0, 2:] = [1.2, 0.0, 0.0, 0.0]
+    state = state._replace(obstacles=jnp.asarray(ob))
+    controls = jnp.asarray([[0.0, 1.0, 0.0]])
+    seen = 0
+    for _ in range(25):
+        state, out = env.step(state, controls)
+        if bool(out.done[0]):
+            assert int(out.error_code[0]) == 2   # collision vehicles!
+            seen = 1
+            break
+    assert seen
+
+    # blocked: no throttle from a standstill, tiny block budget
+    state, _ = env.reset(jax.random.PRNGKey(3))
+    controls = jnp.asarray([[0.0, 0.0, 0.0]])
+    for _ in range(25):
+        state, out = env.step(state, controls)
+        if bool(out.done[0]):
+            assert int(out.error_code[0]) == 4   # vehicle blocked
+            break
+    else:
+        pytest.fail("blocked timeout never fired")
