@@ -167,6 +167,10 @@ def make_device_iteration(agent: CadreAgent, env: JaxDrivingEnv,
         params, opt_state, aux = fused(params, opt_state, steer_buf,
                                        throttle_buf, next_values, k_up)
 
+        # NOTE the carry keeps the PRE-bootstrap history: the invariant is
+        # "feat_hist holds frames strictly before carry.obs", so the next
+        # iteration's first step rolls obs's features in exactly once (fh
+        # above is local to the bootstrap).
         done_f = ys["done"].astype(jnp.float32)
         metrics = IterationMetrics(
             value_loss=aux.value_loss, policy_loss=aux.action_loss,
@@ -177,8 +181,8 @@ def make_device_iteration(agent: CadreAgent, env: JaxDrivingEnv,
             completion_sum=(ys["completion"] * done_f).sum(),
             checksum=ys["reward"].sum()
             + jax.tree_util.tree_leaves(params)[0].sum())
-        return params, opt_state, DeviceCarry(env_state, obs, fh, done_prev
-                                              ), metrics
+        return params, opt_state, DeviceCarry(env_state, obs, feat_hist,
+                                              done_prev), metrics
 
     def init_carry(danet_vars, key) -> DeviceCarry:
         env_state, obs = env.reset(key)
