@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, NamedTuple, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -164,15 +164,32 @@ ERROR_CODES = {
 
 def make_route_bank(n_routes: int, seed: int = 0, route_legs: int = 3,
                     route_leg_len: Tuple[float, float] = (40.0, 90.0),
-                    max_lights: int = 8, pad: int = 80) -> RouteBank:
+                    max_lights: int = 8, pad: int = 80,
+                    routes_file: Optional[str] = None) -> RouteBank:
     """Host-side episode-bank builder (same synthetic-route generator and
-    corner-light synthesizer as SimDrivingEnv._world_reset)."""
+    corner-light synthesizer as SimDrivingEnv._world_reset).
+
+    With `routes_file`, the bank holds the route XML's trajectories (e.g.
+    the reference NoCrash routes) instead of synthetic ones; `n_routes`
+    caps how many are taken."""
     from cadre_tpu.envs.route_parser import interpolate_route
 
     rng = np.random.RandomState(seed)
+    keypoints = []
+    if routes_file is not None:
+        from cadre_tpu.envs.route_parser import parse_routes_file
+
+        for cfg in parse_routes_file(routes_file)[:n_routes]:
+            keypoints.append(np.asarray([w.xy for w in cfg.trajectory]))
+        if not keypoints:
+            raise ValueError(f"no routes in {routes_file}")
+    else:
+        keypoints = [synthetic_route(rng, n_legs=route_legs,
+                                     leg_len=route_leg_len)
+                     for _ in range(n_routes)]
+
     dense_list, lights_list = [], []
-    for _ in range(n_routes):
-        pts = synthetic_route(rng, n_legs=route_legs, leg_len=route_leg_len)
+    for pts in keypoints:
         dense = interpolate_route(pts, resolution=1.0)
         dense_list.append(dense)
         lights = lights_at_route_corners(pts, dense, rng)

@@ -18,7 +18,11 @@ def parse_args():
     p = argparse.ArgumentParser(description="Train CADRE-TPU")
     p.add_argument("--config", default=None,
                    help="config_files/*.py experiment (Config.fromfile)")
-    p.add_argument("--env", default="sim", choices=["sim", "fake", "carla"])
+    p.add_argument("--env", default="sim",
+                   choices=["sim", "fake", "carla", "jax"],
+                   help="'jax' trains fully on-device: the whole rollout "
+                        "(env + encoder + policies) and the PPO update are "
+                        "one jitted program (rl/device_rollout.py)")
     p.add_argument("--episodes", type=int, default=3000)
     p.add_argument("--num-steps", type=int, default=200)
     p.add_argument("--seq-length", type=int, default=8)
@@ -143,6 +147,30 @@ def main():
                                     seq_length=args.seq_length,
                                     feature_dims=agent.obs_dim)
         train_cfg = TrainConfig(max_episode=args.episodes)
+
+    if args.env == "jax":
+        from cadre_tpu.envs.jax_env import (
+            JaxDrivingEnv,
+            JaxEnvConfig,
+            make_route_bank,
+        )
+        from cadre_tpu.rl.device_rollout import train_device
+        from cadre_tpu.utils.logger import logger
+
+        bank = make_route_bank(max(args.num_envs * 2, 16), seed=args.seed,
+                               routes_file=args.routes)
+        env = JaxDrivingEnv(bank, num_envs=max(args.num_envs, 1),
+                            config=JaxEnvConfig())
+        iterations = args.iterations if args.iterations is not None else \
+            args.episodes
+        _, rows = train_device(agent, env, iterations=iterations,
+                               rollout_cfg=rollout_cfg,
+                               train_cfg=train_cfg, seed=args.seed,
+                               log_fn=logger.log)
+        os.makedirs(os.path.join(work_dir, "models"), exist_ok=True)
+        agent.save_snapshot(os.path.join(
+            work_dir, "models", f"ppo_model_{iterations}.msgpack"))
+        return
 
     if args.num_envs > 1:
         # the reference's chief + N-worker topology (main.py:57-70), with
