@@ -31,6 +31,22 @@ def _bank_from_sim(sim) -> RouteBank:
                      jnp.asarray(np.full((1, 8, 3), 1e8, np.float32)))
 
 
+def test_bank_from_nocrash_routes_file():
+    """The reference NoCrash route XMLs feed the device env's bank."""
+    from cadre_tpu.utils.config import Config
+
+    cfg = Config.fromfile("config_files/nocrash_reference_config.py")
+    bank = make_route_bank(4, routes_file=cfg["env_cfg"]["routes"][0])
+    assert bank.routes.shape[0] >= 1
+    assert int(bank.route_len.min()) > 10
+    # normalized arc length is monotone and hits 1 at the route end
+    for k in range(bank.routes.shape[0]):
+        n = int(bank.route_len[k])
+        cum = np.asarray(bank.route_cum[k, :n])
+        assert cum[0] == 0.0 and abs(cum[-1] - 1.0) < 1e-5
+        assert (np.diff(cum) >= 0).all()
+
+
 def test_bank_and_reset_shapes():
     bank = make_route_bank(3, seed=1)
     assert bank.routes.shape[0] == 3
