@@ -1,0 +1,100 @@
+"""On-device K-checkpoint ensemble evaluation over JaxDrivingEnv.
+
+The reference eval protocol (eval.py:12-64 + agent.py:83-95): every member
+acts on the same observation, each discrete (steer, throttle) pair converts
+through the control LUTs, the K controls are averaged, and a mean brake
+below 0.5 is zeroed. Here the members are a vmap axis and the whole
+episode batch runs inside lax.scan on device — N envs x K members per step
+with one host fetch per eval, not one per member per tick.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cadre_tpu.configs.agent_config import (
+    STEER_CONTROL,
+    THROTTLE_CONTROL,
+    RolloutConfig,
+)
+from cadre_tpu.envs.jax_env import ERROR_CODES, JaxDrivingEnv, _step_one
+from cadre_tpu.rl.agent import CadreAgent, EnsembleAgent, latent_features, \
+    preprocess_obs
+
+
+def evaluate_device(agent: CadreAgent, env: JaxDrivingEnv,
+                    snapshot_paths: Sequence[str], max_steps: int = 2000,
+                    seed: int = 0, seq_length: Optional[int] = None
+                    ) -> List[dict]:
+    """Run `max_steps` batched ensemble steps; returns one dict per finished
+    episode: {completion, error, steps}."""
+    banks = [EnsembleAgent._load(p, agent) for p in snapshot_paths]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *banks)
+    k = len(banks)
+    n = env.num_envs
+    seq = seq_length or RolloutConfig().seq_length
+    f = agent.obs_dim
+    cfg, bank = env.cfg, env.bank
+    blank = agent.danet_cfg.in_route_blank
+    steer_lut = jnp.asarray(STEER_CONTROL, jnp.float32)
+    throttle_lut = jnp.asarray(THROTTLE_CONTROL, jnp.float32)
+
+    def encode(obs):
+        x = preprocess_obs(obs["rgb"], obs["route_fig"], blank_route=blank)
+        return latent_features(agent.danet, agent.danet_vars, x,
+                               obs["measurements"])
+
+    def member_act(params, feat_hist, commands, key):
+        s_out, t_out, _ = agent._act_from_hist(
+            params, feat_hist, commands,
+            (jnp.zeros((n, f)), jnp.zeros((n, f))), key)
+        return s_out.action, t_out.action
+
+    act_k = jax.vmap(member_act, in_axes=(0, None, None, 0))
+
+    def step_fn(carry, key):
+        env_state, obs, feat_hist, done_prev = carry
+        feats = encode(obs)
+        rolled = jnp.concatenate([feat_hist[1:], feats[None]], axis=0)
+        tiled = jnp.broadcast_to(feats[None], feat_hist.shape)
+        feat_hist = jnp.where(done_prev[None, :, None], tiled, rolled)
+        sa, ta = act_k(stacked, feat_hist, obs["command"],
+                       jax.random.split(key, k))
+        # avg_action (agent.py:83-95): mean of converted controls,
+        # brake < 0.5 -> 0
+        controls = jnp.concatenate(
+            [steer_lut[sa][..., None], throttle_lut[ta]], axis=-1)
+        mean_c = controls.mean(axis=0)                      # [N, 3]
+        brake = jnp.where(mean_c[:, 2] < 0.5, 0.0, mean_c[:, 2])
+        mean_c = mean_c.at[:, 2].set(brake)
+        env_state, out = jax.vmap(
+            lambda s, c: _step_one(cfg, bank, s, c))(env_state, mean_c)
+        obs2 = dict(rgb=out.rgb, route_fig=out.route_fig,
+                    measurements=out.measurements, command=out.command)
+        return ((env_state, obs2, feat_hist, out.done),
+                (out.done, out.completion, out.error_code))
+
+    @jax.jit
+    def run(key):
+        k0, k1 = jax.random.split(key)
+        env_state, obs = env.reset(k0)
+        feat_hist = jnp.broadcast_to(encode(obs)[None], (seq, n, f))
+        carry = (env_state, obs, feat_hist, jnp.zeros((n,), bool))
+        _, ys = jax.lax.scan(step_fn, carry,
+                             jax.random.split(k1, max_steps))
+        return ys
+
+    done, completion, err = jax.device_get(run(jax.random.PRNGKey(seed)))
+    episodes = []
+    start = np.zeros(n, np.int64)
+    for t in range(max_steps):
+        for i in np.nonzero(done[t])[0]:
+            episodes.append(dict(
+                completion=float(completion[t, i]),
+                error=ERROR_CODES.get(int(err[t, i]), str(int(err[t, i]))),
+                steps=int(t - start[i])))
+            start[i] = t
+    return episodes

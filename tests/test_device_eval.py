@@ -1,0 +1,33 @@
+"""On-device K-checkpoint ensemble eval (cadre_tpu/rl/device_eval.py)."""
+import jax
+import pytest
+
+from cadre_tpu.configs.danet_config import danet_params
+from cadre_tpu.envs.jax_env import (
+    JaxDrivingEnv,
+    JaxEnvConfig,
+    make_route_bank,
+)
+from cadre_tpu.rl.agent import CadreAgent
+
+
+@pytest.mark.slow
+def test_device_ensemble_eval_reports_episodes(tmp_path):
+    from cadre_tpu.rl.device_eval import evaluate_device
+
+    agent = CadreAgent.create(jax.random.PRNGKey(0), danet_cfg=danet_params(
+        da_feature_channel=32, inter_att_dims=24, z_dims=16))
+    p = str(tmp_path / "a.msgpack")
+    agent.save_snapshot(p)
+    env = JaxDrivingEnv(make_route_bank(3, seed=1), num_envs=2,
+                        config=JaxEnvConfig(max_block_steps=60))
+    eps = evaluate_device(agent, env, [p, p], max_steps=160)
+    # a random coasting ensemble must hit the blocked timeout in both envs
+    assert len(eps) >= 2
+    for e in eps:
+        assert 0.0 <= e["completion"] <= 1.0
+        assert e["error"] in ("vehicle blocked", "route deviation",
+                              "collision vehicles!", "collision static",
+                              "collision pedestrians!", "success",
+                              "exceed speed")
+        assert e["steps"] > 0
