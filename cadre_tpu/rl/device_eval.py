@@ -88,13 +88,21 @@ def evaluate_device(agent: CadreAgent, env: JaxDrivingEnv,
         return ys
 
     done, completion, err = jax.device_get(run(jax.random.PRNGKey(seed)))
+    # collision error -> driving-score penalty (statistics_manager.py:22-26
+    # via envs/scoring.py; the device env ends the episode on the first
+    # collision, so at most one penalty applies)
+    penalty_by_code = {1: 0.65, 2: 0.60, 3: 0.50}
     episodes = []
     start = np.zeros(n, np.int64)
     for t in range(max_steps):
         for i in np.nonzero(done[t])[0]:
+            code = int(err[t, i])
+            comp = float(completion[t, i])
+            pen = penalty_by_code.get(code, 1.0)
             episodes.append(dict(
-                completion=float(completion[t, i]),
-                error=ERROR_CODES.get(int(err[t, i]), str(int(err[t, i]))),
-                steps=int(t - start[i])))
+                completion=comp,
+                error=ERROR_CODES.get(code, str(code)),
+                steps=int(t - start[i]),
+                driving_score=100.0 * comp * pen))
             start[i] = t
     return episodes

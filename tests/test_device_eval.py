@@ -31,3 +31,7 @@ def test_device_ensemble_eval_reports_episodes(tmp_path):
                               "collision pedestrians!", "success",
                               "exceed speed")
         assert e["steps"] > 0
+        assert 0.0 <= e["driving_score"] <= 100.0
+        if e["error"] == "vehicle blocked":
+            assert e["driving_score"] == pytest.approx(
+                100.0 * e["completion"])
