@@ -99,10 +99,39 @@ def bench_torch_cpu(batch: int = 8, iters: int = 5):
     return batch / dt
 
 
+def bench_device_train(num_envs: int = 32, steps: int = 200,
+                       budget_s: int = 240):
+    """Aggregate env-steps/s of the fully on-device PPO loop (render +
+    production encoder + policies + env + update in one jitted scan;
+    BENCH_r2_device_env.json). Guarded two ways so the primary metric
+    always prints: any exception returns None, and a SIGALRM budget
+    aborts the arm if the remote-TPU tunnel wedges mid-dispatch (a known
+    failure mode — see BENCH_NOTES.md timing rules)."""
+    import signal
+    import sys
+
+    def _alarm(signum, frame):
+        raise TimeoutError("device-train bench exceeded budget")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(budget_s)
+    try:
+        sys.path.insert(0, "scripts")
+        from bench_device_env import bench_train
+
+        return bench_train(num_envs, steps, repeats=3)
+    except Exception:
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
     jax_fps, pallas_fps, backend = bench_jax()
     torch_fps = bench_torch_cpu()
-    print(json.dumps({
+    device_sps = bench_device_train()
+    row = {
         "metric": "danet_latent_frames_per_sec_per_chip",
         "value": round(jax_fps, 1),
         "unit": "frames/s",
@@ -113,7 +142,10 @@ def main():
         "backend": backend,
         "batch": 256,
         "dtype": "bfloat16",
-    }))
+    }
+    if device_sps is not None:
+        row["device_train_env_steps_per_sec"] = round(device_sps, 1)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":
