@@ -34,7 +34,10 @@ reward table):
     synthetic world); ROUTE_DEVIATION uses the InRoute >30 m test.
   - adversarial scenario behaviors (ScenarioManager) stay host-side; the
     device env covers background vehicles/walkers (walkers wander exactly as
-    in SimDrivingEnv._world_step).
+    in SimDrivingEnv._world_step) plus an in-graph Scenario-3 analog:
+    `JaxEnvConfig.n_hazards` crossing pedestrians armed beside the route
+    that spring when the ego closes within `hazard_trigger` m
+    (srunner DynamicObjectCrossing, object_crash_vehicle.py:1-200).
   - VEHICLE_BLOCKED comes from the reward-path 400-step timeout only (it
     fires at 40 s, long before the 180 s criteria test would).
   - rgb route markers come from a 64-waypoint window ahead of the planner
@@ -111,6 +114,14 @@ class JaxEnvConfig:
     max_offroad: float = 30.0      # InRoute deviation threshold
     randomize_weather: bool = True
     render: bool = True            # False: skip rgb/fig (env-core studies)
+    # Scenario-3-style crossing hazards (srunner DynamicObjectCrossing,
+    # object_crash_vehicle.py): pedestrians armed at lateral offsets along
+    # the route that spring into a straight crossing walk when the ego
+    # closes within `hazard_trigger` meters. 0 = off (default; matches the
+    # host SimDrivingEnv, whose adversaries come from ScenarioManager).
+    n_hazards: int = 0
+    hazard_trigger: float = 12.0   # spring distance (m)
+    hazard_offset: float = 5.0     # lateral spawn offset from the route (m)
 
 
 class RouteBank(NamedTuple):
@@ -135,6 +146,8 @@ class JaxEnvState(NamedTuple):
     last_event_t: jnp.ndarray      # i32 (block-timeout bookkeeping)
     begin: jnp.ndarray             # i32 1 on the first post-reset step
     obstacles: jnp.ndarray         # [M, 6] x, y, radius, kind, speed, heading
+    hazard_speed: jnp.ndarray      # [M] f32 latent crossing speed of an
+    #                                armed scenario hazard (0 = not a hazard)
     weather: jnp.ndarray           # i32 preset index
     turn: jnp.ndarray              # [8] TurnState: first_xy, last_xy,
     #                                first_dir, has_first, has_last, in_turn
@@ -653,15 +666,16 @@ def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key) -> JaxEnvState:
 
     # at least one (inert, far-away) obstacle row so the collision and
     # obstacle-cone reductions never run over a zero-length axis
-    m = max(cfg.n_vehicles + cfg.n_walkers, 1)
-    keys = jax.random.split(k_obs, 4)
+    m = max(cfg.n_vehicles + cfg.n_walkers + cfg.n_hazards, 1)
+    keys = jax.random.split(k_obs, 6)
     lo = rlen // 4
     idx = jax.random.randint(keys[0], (m,), 0, 1 << 30) % \
         jnp.maximum(rlen - lo, 1) + lo
     base = route[idx]
     lat_v = jax.random.uniform(keys[1], (m, 2), minval=-1.0, maxval=1.0)
     lat_w = jax.random.uniform(keys[1], (m, 2), minval=-3.0, maxval=3.0)
-    is_walker = jnp.arange(m) >= cfg.n_vehicles
+    rank = jnp.arange(m)
+    is_walker = rank >= cfg.n_vehicles
     pos = base + jnp.where(is_walker[:, None], lat_w, lat_v)
     radius = jnp.where(is_walker, 0.4, 1.2)
     kind = jnp.where(is_walker, 1, 0).astype(jnp.float32)
@@ -669,10 +683,32 @@ def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key) -> JaxEnvState:
     speed = jnp.where(is_walker, w_speed, 0.0)
     heading = jax.random.uniform(keys[3], (m,), minval=0.0,
                                  maxval=2.0 * jnp.pi)
-    real = jnp.arange(m) < (cfg.n_vehicles + cfg.n_walkers)
+
+    # crossing hazards (DynamicObjectCrossing, object_crash_vehicle.py):
+    # armed at `hazard_offset` m beside a route point, speed 0 until sprung,
+    # heading pointing back across the route
+    is_hazard = rank >= (cfg.n_vehicles + cfg.n_walkers)
+    dnext = route[jnp.minimum(idx + 2, rlen - 1)] - base
+    dnorm = dnext / jnp.maximum(
+        jnp.linalg.norm(dnext, axis=-1, keepdims=True), 1e-6)
+    perp = jnp.stack([-dnorm[:, 1], dnorm[:, 0]], axis=-1)
+    side = jnp.where(
+        jax.random.bernoulli(keys[4], shape=(m,)), 1.0, -1.0)
+    pos = jnp.where(is_hazard[:, None],
+                    base + side[:, None] * cfg.hazard_offset * perp, pos)
+    heading = jnp.where(
+        is_hazard,
+        jnp.arctan2(-side * perp[:, 1], -side * perp[:, 0]), heading)
+    speed = jnp.where(is_hazard, 0.0, speed)
+    hazard_speed = jnp.where(
+        is_hazard,
+        jax.random.uniform(keys[5], (m,), minval=1.2, maxval=2.0), 0.0)
+
+    real = rank < (cfg.n_vehicles + cfg.n_walkers + cfg.n_hazards)
     pos = jnp.where(real[:, None], pos, 1.0e7)
     radius = jnp.where(real, radius, 0.0)
     speed = jnp.where(real, speed, 0.0)
+    hazard_speed = jnp.where(real, hazard_speed, 0.0)
     obstacles = jnp.stack(
         [pos[:, 0], pos[:, 1], radius, kind, speed, heading], axis=-1)
 
@@ -688,6 +724,7 @@ def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key) -> JaxEnvState:
         step=jnp.asarray(0, jnp.int32),
         last_event_t=jnp.asarray(0, jnp.int32),
         begin=jnp.asarray(1, jnp.int32), obstacles=obstacles,
+        hazard_speed=hazard_speed,
         weather=weather.astype(jnp.int32),
         turn=jnp.zeros(8, jnp.float32), rng=k_state)
 
@@ -704,13 +741,28 @@ def _observe(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState, scal,
     return rgb, fig, meas
 
 
+def _spring_hazards(cfg: JaxEnvConfig, state: JaxEnvState) -> JaxEnvState:
+    """Arm check for crossing hazards: an armed (speed-0) hazard within
+    `hazard_trigger` m of the ego starts its crossing walk (the
+    DynamicObjectCrossing trigger, object_crash_vehicle.py). Once sprung
+    its speed is nonzero, so the test never re-fires."""
+    if cfg.n_hazards == 0:
+        return state
+    obs = state.obstacles
+    d = jnp.linalg.norm(obs[:, :2] - state.pos[None], axis=-1)
+    fire = (d < cfg.hazard_trigger) & (state.hazard_speed > 0.0) & \
+        (obs[:, 4] == 0.0)
+    obs = obs.at[:, 4].set(jnp.where(fire, state.hazard_speed, obs[:, 4]))
+    return state._replace(obstacles=obs)
+
+
 def _step_one(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
               control: jnp.ndarray) -> Tuple[JaxEnvState, StepOutput]:
     """One env tick with auto-reset; `control` = [steer, throttle, brake]."""
     rng, k_reset, k_noise = jax.random.split(state.rng, 3)
     state = state._replace(rng=rng)
 
-    stepped, collision = _physics(cfg, state, control)
+    stepped, collision = _physics(cfg, _spring_hazards(cfg, state), control)
     stepped = _plan_pop(cfg, bank, stepped)
     scal = _scalars(cfg, bank, stepped)
     stepped = _update_turn(stepped, scal["w"], scal["list_mask"])

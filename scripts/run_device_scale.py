@@ -55,10 +55,10 @@ def run(args) -> dict:
                               danet_vars=danet_vars, bf16_encoder=True)
 
     leg_len = (args.leg_min, args.leg_max)
+    env_cfg = JaxEnvConfig(n_hazards=args.hazards)
     bank = make_route_bank(args.routes, seed=args.seed,
                            route_legs=args.route_legs, route_leg_len=leg_len)
-    env = JaxDrivingEnv(bank, num_envs=args.num_envs,
-                        config=JaxEnvConfig())
+    env = JaxDrivingEnv(bank, num_envs=args.num_envs, config=env_cfg)
     rollout_cfg = RolloutConfig(num_steps=args.steps)
     iteration, init_carry = make_device_iteration(agent, env, rollout_cfg,
                                                   TrainConfig())
@@ -108,7 +108,7 @@ def run(args) -> dict:
                                 route_legs=args.route_legs,
                                 route_leg_len=leg_len)
     eval_env = JaxDrivingEnv(eval_bank, num_envs=args.eval_envs,
-                             config=JaxEnvConfig())
+                             config=env_cfg)
     members = snaps[-args.eval_members:] if snaps else []
     episodes = []
     if members:
@@ -127,6 +127,7 @@ def run(args) -> dict:
         config=dict(iterations=args.iterations, num_envs=args.num_envs,
                     steps_per_iter=args.steps, routes=args.routes,
                     route_legs=args.route_legs, leg_len=leg_len,
+                    hazards=args.hazards,
                     encoder=args.encoder, seed=args.seed,
                     total_env_steps=args.iterations * steps_per_iter),
         train=dict(wall_s=round(train_wall, 1),
@@ -161,6 +162,8 @@ def main():
     p.add_argument("--route-legs", type=int, default=3)
     p.add_argument("--leg-min", type=float, default=40.0)
     p.add_argument("--leg-max", type=float, default=90.0)
+    p.add_argument("--hazards", type=int, default=0,
+                   help="Scenario-3 crossing pedestrians per episode")
     p.add_argument("--encoder", default=None,
                    help="optional msgpack DANet checkpoint (frozen)")
     p.add_argument("--snap-every", type=int, default=100)

@@ -200,3 +200,50 @@ def test_collision_and_blocked_codes():
             break
     else:
         pytest.fail("blocked timeout never fired")
+
+
+def test_crossing_hazards_arm_and_spring():
+    """Scenario-3 analog (DynamicObjectCrossing): hazards spawn beside the
+    route at hazard_offset, stay frozen until the ego closes within
+    hazard_trigger, then walk straight across at their latent speed."""
+    bank = make_route_bank(2, seed=7)
+    cfg = JaxEnvConfig(n_vehicles=0, n_walkers=0, n_hazards=3, render=False)
+    env = JaxDrivingEnv(bank, num_envs=1, config=cfg)
+    state, _ = env.reset(jax.random.PRNGKey(1))
+
+    ob = np.array(state.obstacles)[0]          # [M=3, 6]
+    hz = np.array(state.hazard_speed)[0]
+    assert ob.shape == (3, 6)
+    assert (ob[:, 4] == 0.0).all()             # armed: frozen
+    assert ((hz >= 1.2) & (hz <= 2.0)).all()   # latent crossing speed
+    assert (ob[:, 3] == 1.0).all()             # walkers
+    # spawned ~hazard_offset m off the route
+    route = np.array(bank.routes)[int(state.route_id[0])]
+    rlen = int(bank.route_len[int(state.route_id[0])])
+    for x, y in ob[:, :2]:
+        d = np.hypot(route[:rlen, 0] - x, route[:rlen, 1] - y).min()
+        assert 3.0 < d < cfg.hazard_offset + 1.0
+
+    # far away: a step leaves every hazard frozen
+    controls = jnp.asarray([[0.0, 0.0, 0.0]])
+    state2, _ = env.step(state, controls)
+    assert (np.array(state2.obstacles)[0][:, 4] == 0.0).all()
+
+    # bring hazard 0 within trigger range of the (stationary, on-route)
+    # ego: it springs and walks straight at its latent speed; the far
+    # hazards stay armed
+    ego = np.array(state.pos)[0]
+    ob_mod = ob.copy()
+    ob_mod[0, :2] = ego + np.asarray([5.0, 0.0])
+    state_n = state._replace(obstacles=jnp.asarray(ob_mod)[None])
+    state3, out3 = env.step(state_n, controls)
+    assert not bool(out3.done[0])
+    ob3 = np.array(state3.obstacles)[0]
+    assert ob3[0, 4] == pytest.approx(hz[0], abs=1e-6)
+    assert (ob3[1:, 4] == 0.0).all()
+    # sprung hazard keeps moving on the next tick
+    state4, out4 = env.step(state3, controls)
+    assert not bool(out4.done[0])
+    ob4 = np.array(state4.obstacles)[0]
+    moved = np.hypot(*(ob4[0, :2] - ob3[0, :2]))
+    assert moved == pytest.approx(hz[0] * cfg.dt, rel=1e-3)
