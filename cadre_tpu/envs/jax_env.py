@@ -100,6 +100,12 @@ class JaxEnvConfig:
     dt: float = 0.1
     training: bool = True
     max_block_steps: int = 400
+    # route-length-scaled episode timeout (route_scenario.py:271-283; host
+    # twin criteria.py::RouteTimeoutCriterion, 0.8 s/m + 5 s). Without it a
+    # policy can creep inside the route corridor forever, never completing
+    # and never blocking (speed >= 1) — observed as episodes_done -> 0 in
+    # long device-scale runs.
+    route_timeout: bool = True
     window: int = 52               # planner lookahead entries (1 m dense)
     rgb_window: int = 64           # camera route-marker lookahead entries
     n_vehicles: int = 6
@@ -169,7 +175,7 @@ class StepOutput(NamedTuple):
 ERROR_CODES = {
     0: "", 1: "collision static", 2: "collision vehicles!",
     3: "collision pedestrians!", 4: "vehicle blocked", 5: "route deviation",
-    6: "success", 7: "exceed speed",
+    6: "success", 7: "exceed speed", 8: "route timeout",
 }
 
 
@@ -418,7 +424,7 @@ def _physics(cfg: JaxEnvConfig, state: JaxEnvState, control: jnp.ndarray
 
 
 def _reward_step(cfg: JaxEnvConfig, state: JaxEnvState, scal, collision,
-                 obstacle, route_completed):
+                 obstacle, route_completed, route_m):
     """compute_reward (env_wrapper.py:361-482) as branch-free jnp math."""
     nz = jnp.asarray(0.0)
     begin = state.begin > 0
@@ -489,6 +495,16 @@ def _reward_step(cfg: JaxEnvConfig, state: JaxEnvState, scal, collision,
     had_event = coll_static | coll_vehicle | coll_walker | deviation \
         | completed | blocked
     last_t = jnp.where(had_event | (state.speed > 1.0), state.step, last_t)
+
+    # route-length-scaled episode timeout: ends the episode with the partial
+    # completion and NO reward change (the host's ROUTE_COMPLETION event
+    # handling, reward.py:104-109; routes are 1 m spaced so route_len is the
+    # length in meters)
+    if cfg.route_timeout:
+        timeout_ticks = (0.8 * route_m + 5.0) / cfg.dt
+        timed_out = state.step.astype(jnp.float32) >= timeout_ticks
+        done = done | timed_out
+        err = jnp.where(timed_out & (err == 0), 8, err)
 
     rewards = jnp.stack([(deviation_r + theta_r) / 2.0 + steer_ev,
                          speed_r + throttle_ev])
@@ -768,8 +784,9 @@ def _step_one(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
     stepped = _update_turn(stepped, scal["w"], scal["list_mask"])
     stepped, completion, route_completed = _update_progress(bank, stepped)
     obstacle = _nearest_obstacle_ahead(stepped)
+    route_m = bank.route_len[stepped.route_id].astype(jnp.float32)
     stepped, rewards, done, action_done, err = _reward_step(
-        cfg, stepped, scal, collision, obstacle, route_completed)
+        cfg, stepped, scal, collision, obstacle, route_completed, route_m)
 
     fresh = _plan_pop(cfg, bank, _reset_one(cfg, bank, k_reset))
     nxt = jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, stepped)

@@ -45,13 +45,20 @@ def run(args) -> dict:
     from cadre_tpu.rl.device_rollout import make_device_iteration
     from cadre_tpu.rl.ppo import make_optimizer
 
+    from cadre_tpu.configs.danet_config import danet_params
+
+    # --camroute blanks the route-raster input plane (the camera-route
+    # cascade protocol, BENCH_r3_cascade_camroute.json): route geometry is
+    # only reachable through the rendered camera, so encoder quality is
+    # load-bearing at scale.
+    danet_cfg = danet_params(in_route_blank=bool(args.camroute))
     danet_vars = None
     if args.encoder:
-        from cadre_tpu.configs.danet_config import danet_params
         from cadre_tpu.utils.checkpoint import load_danet_checkpoint
 
-        danet_vars = load_danet_checkpoint(args.encoder, danet_params())
+        danet_vars = load_danet_checkpoint(args.encoder, danet_cfg)
     agent = CadreAgent.create(jax.random.PRNGKey(args.seed),
+                              danet_cfg=danet_cfg,
                               danet_vars=danet_vars, bf16_encoder=True)
 
     leg_len = (args.leg_min, args.leg_max)
@@ -127,7 +134,7 @@ def run(args) -> dict:
         config=dict(iterations=args.iterations, num_envs=args.num_envs,
                     steps_per_iter=args.steps, routes=args.routes,
                     route_legs=args.route_legs, leg_len=leg_len,
-                    hazards=args.hazards,
+                    hazards=args.hazards, camroute=bool(args.camroute),
                     encoder=args.encoder, seed=args.seed,
                     total_env_steps=args.iterations * steps_per_iter),
         train=dict(wall_s=round(train_wall, 1),
@@ -166,6 +173,10 @@ def main():
                    help="Scenario-3 crossing pedestrians per episode")
     p.add_argument("--encoder", default=None,
                    help="optional msgpack DANet checkpoint (frozen)")
+    p.add_argument("--camroute", action="store_true",
+                   help="blank the route-raster input plane "
+                        "(DANetParams.in_route_blank): the camera-route "
+                        "cascade protocol at device scale")
     p.add_argument("--snap-every", type=int, default=100)
     p.add_argument("--eval-members", type=int, default=8)
     p.add_argument("--eval-envs", type=int, default=8)

@@ -202,6 +202,40 @@ def test_collision_and_blocked_codes():
         pytest.fail("blocked timeout never fired")
 
 
+def test_route_timeout_code():
+    """Route-length-scaled episode timeout (0.8 s/m + 5 s, the
+    criteria.py::RouteTimeoutCriterion twin): a creeping policy that never
+    blocks and never completes still ends, with code 8 and no reward hit."""
+    bank = make_route_bank(1, seed=5, route_legs=1,
+                           route_leg_len=(10.0, 12.0))
+    cfg = JaxEnvConfig(n_vehicles=0, n_walkers=0, render=False,
+                       max_block_steps=100000)
+    env = JaxDrivingEnv(bank, num_envs=1, config=cfg)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    controls = jnp.asarray([[0.0, 0.0, 0.0]])
+    rlen = float(bank.route_len[0])
+    expect = int((0.8 * rlen + 5.0) / cfg.dt)
+    for t in range(1, expect + 5):
+        state, out = env.step(state, controls)
+        if bool(out.done[0]):
+            assert int(out.error_code[0]) == 8    # route timeout
+            assert t >= expect - 1                # not early
+            # no event penalty: the steer reward keeps its shaping value
+            assert float(out.rewards[0, 0]) >= 0.0
+            break
+    else:
+        pytest.fail("route timeout never fired")
+
+    # route_timeout=False restores the old unbounded-episode behavior
+    cfg2 = JaxEnvConfig(n_vehicles=0, n_walkers=0, render=False,
+                        max_block_steps=100000, route_timeout=False)
+    env2 = JaxDrivingEnv(bank, num_envs=1, config=cfg2)
+    state, _ = env2.reset(jax.random.PRNGKey(0))
+    for _ in range(expect + 5):
+        state, out = env2.step(state, controls)
+        assert not bool(out.done[0])
+
+
 def test_crossing_hazards_arm_and_spring():
     """Scenario-3 analog (DynamicObjectCrossing): hazards spawn beside the
     route at hazard_offset, stay frozen until the ego closes within
