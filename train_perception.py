@@ -106,6 +106,11 @@ def main():
                    help="hold out the last shard and report per-class "
                         "seg/light accuracy tables after training "
                         "(the reference's test_route.py protocol)")
+    p.add_argument("--camroute", action="store_true",
+                   help="blank the route-raster input plane "
+                        "(DANetParams.in_route_blank): train the "
+                        "camera-route encoder, where route geometry is "
+                        "only reachable through the camera")
     p.add_argument("--experiment", default=None,
                    help="named reference experiment (configs/experiments.py"
                         " EXPERIMENTS, e.g. auto_danet_exp50 for the CoPM"
@@ -161,6 +166,8 @@ def main():
     stats = compute_stats(loader.paths)
     small = dict(da_feature_channel=64, inter_att_dims=48, z_dims=32) \
         if args.small else {}
+    if args.camroute:
+        small["in_route_blank"] = True
     tp = PerceptionTrainParams(batch_size=args.batch_size,
                                max_epochs=args.epochs)
     if args.mesh:
