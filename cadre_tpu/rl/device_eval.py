@@ -42,43 +42,48 @@ def evaluate_device(agent: CadreAgent, env: JaxDrivingEnv,
     steer_lut = jnp.asarray(STEER_CONTROL, jnp.float32)
     throttle_lut = jnp.asarray(THROTTLE_CONTROL, jnp.float32)
 
-    def encode(obs):
-        x = preprocess_obs(obs["rgb"], obs["route_fig"], blank_route=blank)
-        return latent_features(agent.danet, agent.danet_vars, x,
-                               obs["measurements"])
-
-    def member_act(params, feat_hist, commands, key):
-        s_out, t_out, _ = agent._act_from_hist(
-            params, feat_hist, commands,
-            (jnp.zeros((n, f)), jnp.zeros((n, f))), key)
-        return s_out.action, t_out.action
-
-    act_k = jax.vmap(member_act, in_axes=(0, None, None, 0))
-
-    def step_fn(carry, key):
-        env_state, obs, feat_hist, done_prev = carry
-        feats = encode(obs)
-        rolled = jnp.concatenate([feat_hist[1:], feats[None]], axis=0)
-        tiled = jnp.broadcast_to(feats[None], feat_hist.shape)
-        feat_hist = jnp.where(done_prev[None, :, None], tiled, rolled)
-        sa, ta = act_k(stacked, feat_hist, obs["command"],
-                       jax.random.split(key, k))
-        # avg_action (agent.py:83-95): mean of converted controls,
-        # brake < 0.5 -> 0
-        controls = jnp.concatenate(
-            [steer_lut[sa][..., None], throttle_lut[ta]], axis=-1)
-        mean_c = controls.mean(axis=0)                      # [N, 3]
-        brake = jnp.where(mean_c[:, 2] < 0.5, 0.0, mean_c[:, 2])
-        mean_c = mean_c.at[:, 2].set(brake)
-        env_state, out = jax.vmap(
-            lambda s, c: _step_one(cfg, bank, s, c))(env_state, mean_c)
-        obs2 = dict(rgb=out.rgb, route_fig=out.route_fig,
-                    measurements=out.measurements, command=out.command)
-        return ((env_state, obs2, feat_hist, out.done),
-                (out.done, out.completion, out.error_code))
-
+    # `member_bank`/`encoder_vars` are jit ARGUMENTS, not closure constants:
+    # closing over the stacked checkpoints + encoder weights bakes them into
+    # the HLO as literals, which overflows remote-compile request limits
+    # (observed as HTTP 413 on the axon tunnel at K=8 members).
     @jax.jit
-    def run(key):
+    def run(key, member_bank, encoder_vars):
+        def encode(obs):
+            x = preprocess_obs(obs["rgb"], obs["route_fig"],
+                               blank_route=blank)
+            return latent_features(agent.danet, encoder_vars, x,
+                                   obs["measurements"])
+
+        def member_act(params, feat_hist, commands, key):
+            s_out, t_out, _ = agent._act_from_hist(
+                params, feat_hist, commands,
+                (jnp.zeros((n, f)), jnp.zeros((n, f))), key)
+            return s_out.action, t_out.action
+
+        act_k = jax.vmap(member_act, in_axes=(0, None, None, 0))
+
+        def step_fn(carry, key):
+            env_state, obs, feat_hist, done_prev = carry
+            feats = encode(obs)
+            rolled = jnp.concatenate([feat_hist[1:], feats[None]], axis=0)
+            tiled = jnp.broadcast_to(feats[None], feat_hist.shape)
+            feat_hist = jnp.where(done_prev[None, :, None], tiled, rolled)
+            sa, ta = act_k(member_bank, feat_hist, obs["command"],
+                           jax.random.split(key, k))
+            # avg_action (agent.py:83-95): mean of converted controls,
+            # brake < 0.5 -> 0
+            controls = jnp.concatenate(
+                [steer_lut[sa][..., None], throttle_lut[ta]], axis=-1)
+            mean_c = controls.mean(axis=0)                      # [N, 3]
+            brake = jnp.where(mean_c[:, 2] < 0.5, 0.0, mean_c[:, 2])
+            mean_c = mean_c.at[:, 2].set(brake)
+            env_state, out = jax.vmap(
+                lambda s, c: _step_one(cfg, bank, s, c))(env_state, mean_c)
+            obs2 = dict(rgb=out.rgb, route_fig=out.route_fig,
+                        measurements=out.measurements, command=out.command)
+            return ((env_state, obs2, feat_hist, out.done),
+                    (out.done, out.completion, out.error_code))
+
         k0, k1 = jax.random.split(key)
         env_state, obs = env.reset(k0)
         feat_hist = jnp.broadcast_to(encode(obs)[None], (seq, n, f))
@@ -87,7 +92,8 @@ def evaluate_device(agent: CadreAgent, env: JaxDrivingEnv,
                              jax.random.split(k1, max_steps))
         return ys
 
-    done, completion, err = jax.device_get(run(jax.random.PRNGKey(seed)))
+    done, completion, err = jax.device_get(
+        run(jax.random.PRNGKey(seed), stacked, agent.danet_vars))
     # collision error -> driving-score penalty (statistics_manager.py:22-26
     # via envs/scoring.py; the device env ends the episode on the first
     # collision, so at most one penalty applies)

@@ -79,8 +79,34 @@ def run(args) -> dict:
     os.makedirs(args.workdir, exist_ok=True)
     steps_per_iter = args.steps * args.num_envs
     rows, snaps = [], []
+    train_wall = None
+    if args.eval_only:
+        # Recovery path: training already ran (snapshots on disk) but the
+        # process died before/at eval. Reuse the snapshots; reconstruct the
+        # printed training curve from --train-log if given.
+        import glob
+        import re
+
+        snaps = sorted(glob.glob(os.path.join(args.workdir,
+                                              "snap_*.msgpack")))
+        if args.train_log and os.path.exists(args.train_log):
+            pat = re.compile(r"iter (\d+): (\d+) steps/s, eps (\d+), "
+                             r"completion ([\d.]+)%")
+            seen = {}
+            for line in open(args.train_log):
+                m = pat.search(line)
+                if m and int(m.group(1)) not in seen:
+                    i = int(m.group(1))
+                    seen[i] = dict(
+                        iteration=i, env_steps=(i + 1) * steps_per_iter,
+                        env_steps_per_sec=float(m.group(2)),
+                        episodes_done=float(m.group(3)),
+                        mean_completion=round(float(m.group(4)) / 100, 4))
+            rows = [seen[i] for i in sorted(seen)]
+        print(f"eval-only: {len(snaps)} snapshots, {len(rows)} curve rows",
+              flush=True)
     t_start = time.time()
-    for i in range(args.iterations):
+    for i in range(0 if args.eval_only else args.iterations):
         rng, k = jax.random.split(rng)
         t0 = time.perf_counter()
         params, opt_state, carry, m = jit_it(params, agent.danet_vars,
@@ -107,7 +133,8 @@ def run(args) -> dict:
             path = os.path.join(args.workdir, f"snap_{i + 1:05d}.msgpack")
             agent.save_snapshot(path)
             snaps.append(path)
-    train_wall = time.time() - t_start
+    if not args.eval_only:
+        train_wall = time.time() - t_start
 
     # ---- held-out on-device ensemble eval (the eval.py protocol) ----
     agent.params = params
@@ -137,12 +164,15 @@ def run(args) -> dict:
                     hazards=args.hazards, camroute=bool(args.camroute),
                     encoder=args.encoder, seed=args.seed,
                     total_env_steps=args.iterations * steps_per_iter),
-        train=dict(wall_s=round(train_wall, 1),
+        train=dict(wall_s=round(train_wall, 1) if train_wall else None,
                    median_env_steps_per_sec=round(float(np.median(
-                       [r["env_steps_per_sec"] for r in rows[1:]])), 1),
-                   # keep every 5th row (plus the last) to bound the file
-                   rows=[r for j, r in enumerate(rows)
-                         if j % 5 == 4 or j == len(rows) - 1]),
+                       [r["env_steps_per_sec"] for r in rows[1:]])), 1)
+                   if len(rows) > 1 else None,
+                   # keep every 5th row (plus the last) to bound the file;
+                   # eval-only rows are already log-thinned — keep them all
+                   rows=rows if args.eval_only else
+                   [r for j, r in enumerate(rows)
+                    if j % 5 == 4 or j == len(rows) - 1]),
         eval=dict(members=len(members), episodes=len(episodes),
                   mean_completion=mean("completion"),
                   mean_driving_score=mean("driving_score"),
@@ -182,6 +212,11 @@ def main():
     p.add_argument("--eval-envs", type=int, default=8)
     p.add_argument("--eval-steps", type=int, default=4000)
     p.add_argument("--log-every", type=int, default=25)
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip training; eval existing workdir snapshots")
+    p.add_argument("--train-log", default=None,
+                   help="with --eval-only: driver log to reconstruct the "
+                        "training curve from (iter N: ... lines)")
     p.add_argument("--workdir", default="/tmp/device_scale")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="/tmp/device_scale/result.json")
