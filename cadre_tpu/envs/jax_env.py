@@ -32,6 +32,11 @@ reward table):
   - the two-waypoint supplementary-angle theta case (route_fig.py:149-153)
     and the OutsideRouteLanes criterion are omitted (no lane geometry in the
     synthetic world); ROUTE_DEVIATION uses the InRoute >30 m test.
+  - red-light and stop-sign infractions run IN-GRAPH (vectorized ports of
+    RunningRedLightCriterion / RunningStopCriterion,
+    atomic_criteria.py:1836-2075 / :2076+ via envs/traffic_lights.py) and
+    accumulate per-episode counts in state; like the host, they affect the
+    driving score only, never the training reward/termination.
   - adversarial scenario behaviors (ScenarioManager) stay host-side; the
     device env covers background vehicles/walkers (walkers wander exactly as
     in SimDrivingEnv._world_step) plus an in-graph Scenario-3 analog:
@@ -76,6 +81,9 @@ _CAM_H = 1.3
 _EGO_RADIUS = 1.2
 _MAX_WHEEL = math.radians(35.0)
 _WHEELBASE = 2.9
+
+_VEH_EXTENT = 2.45                 # lincoln.mkz2017 extent.x (criteria)
+_LANE_WIDTH = 3.5
 
 _WNAMES = list(WEATHER_PRESETS)
 _SKY = np.asarray([WEATHER_PRESETS[n][0] for n in _WNAMES], np.float32)
@@ -131,12 +139,15 @@ class JaxEnvConfig:
 
 
 class RouteBank(NamedTuple):
-    """Device-resident episode bank: K padded routes + their lights."""
+    """Device-resident episode bank: K padded routes + their lights/signs."""
 
     routes: jnp.ndarray            # [K, R, 2] f32, padded with the endpoint
     route_len: jnp.ndarray         # [K] i32
     route_cum: jnp.ndarray         # [K, R] f32 normalized arc length 0..1
-    lights: jnp.ndarray            # [K, L, 3] f32 (x, y, phase); x=_FAR pad
+    lights: jnp.ndarray            # [K, L, 5] f32 (x, y, phase, dir_x,
+    #                                dir_y); x=_FAR pad
+    stop_signs: jnp.ndarray        # [K, S, 5] f32 (x, y, ext_x, ext_y,
+    #                                yaw_deg); x=_FAR pad
 
 
 class JaxEnvState(NamedTuple):
@@ -157,6 +168,10 @@ class JaxEnvState(NamedTuple):
     weather: jnp.ndarray           # i32 preset index
     turn: jnp.ndarray              # [8] TurnState: first_xy, last_xy,
     #                                first_dir, has_first, has_last, in_turn
+    last_red: jnp.ndarray          # i32 debounced red-light index (-1 none)
+    stop_state: jnp.ndarray        # [3] f32: target sign idx (-1 none),
+    #                                stop_completed, affected
+    infractions: jnp.ndarray       # [2] i32 episode counts (red, stop)
     rng: jnp.ndarray               # per-env PRNG key
 
 
@@ -170,6 +185,8 @@ class StepOutput(NamedTuple):
     action_done: jnp.ndarray       # [2] i32 (steer_done, throttle_done)
     completion: jnp.ndarray        # f32 route-completion ratio (at `done`)
     error_code: jnp.ndarray        # i32, see ERROR_CODES
+    infractions: jnp.ndarray       # [2] i32 episode (red, stop) counts so
+    #                                far; read at `done` for scoring
 
 
 ERROR_CODES = {
@@ -184,13 +201,17 @@ ERROR_CODES = {
 def make_route_bank(n_routes: int, seed: int = 0, route_legs: int = 3,
                     route_leg_len: Tuple[float, float] = (40.0, 90.0),
                     max_lights: int = 8, pad: int = 80,
-                    routes_file: Optional[str] = None) -> RouteBank:
+                    routes_file: Optional[str] = None,
+                    max_stop_signs: int = 2,
+                    stop_sign_prob: float = 0.0) -> RouteBank:
     """Host-side episode-bank builder (same synthetic-route generator and
     corner-light synthesizer as SimDrivingEnv._world_reset).
 
     With `routes_file`, the bank holds the route XML's trajectories (e.g.
     the reference NoCrash routes) instead of synthetic ones; `n_routes`
-    caps how many are taken."""
+    caps how many are taken. `stop_sign_prob` > 0 converts that fraction
+    of corner lights into stop signs (trigger bbox straddling the stop
+    line, RunningStopTest geometry) instead."""
     from cadre_tpu.envs.route_parser import interpolate_route
 
     rng = np.random.RandomState(seed)
@@ -207,15 +228,31 @@ def make_route_bank(n_routes: int, seed: int = 0, route_legs: int = 3,
                                      leg_len=route_leg_len)
                      for _ in range(n_routes)]
 
-    dense_list, lights_list = [], []
+    dense_list, lights_list, signs_list = [], [], []
     for pts in keypoints:
         dense = interpolate_route(pts, resolution=1.0)
         dense_list.append(dense)
         lights = lights_at_route_corners(pts, dense, rng)
-        arr = np.full((max_lights, 3), _FAR, np.float32)
-        for i, li in enumerate(lights[:max_lights]):
-            arr[i] = [li.center[0], li.center[1], li.phase]
+        arr = np.full((max_lights, 5), _FAR, np.float32)
+        signs = np.full((max_stop_signs, 5), _FAR, np.float32)
+        n_li = n_si = 0
+        for li in lights:
+            sl = li.stop_lines[0]
+            if stop_sign_prob > 0 and rng.rand() < stop_sign_prob \
+                    and n_si < max_stop_signs:
+                # trigger bbox straddling the stop line, long axis along
+                # the lane (RunningStopTest trigger volumes are lane-wide
+                # boxes a few meters deep)
+                yaw = math.degrees(math.atan2(sl.dir[1], sl.dir[0]))
+                signs[n_si] = [sl.pos[0], sl.pos[1], 2.0,
+                               0.5 * sl.lane_width, yaw]
+                n_si += 1
+            elif n_li < max_lights:
+                arr[n_li] = [li.center[0], li.center[1], li.phase,
+                             sl.dir[0], sl.dir[1]]
+                n_li += 1
         lights_list.append(arr)
+        signs_list.append(signs)
     # pad past the longest route by `pad` endpoint copies so a window
     # dynamic_slice at head <= rlen-2 never has to clip its start
     r_max = max(len(d) for d in dense_list) + pad
@@ -230,7 +267,8 @@ def make_route_bank(n_routes: int, seed: int = 0, route_legs: int = 3,
         cums[i, :len(d)] = cum / max(cum[-1], 1e-6)
         lens[i] = len(d)
     return RouteBank(jnp.asarray(routes), jnp.asarray(lens),
-                     jnp.asarray(cums), jnp.asarray(np.stack(lights_list)))
+                     jnp.asarray(cums), jnp.asarray(np.stack(lights_list)),
+                     jnp.asarray(np.stack(signs_list)))
 
 
 # ---------------------------------------------------------------- core math
@@ -390,6 +428,121 @@ def _nearest_obstacle_ahead(state: JaxEnvState):
     ok = (dist <= 11.0) & (dist > 1e-6) & (ahead > 0.0) & (lateral < 1.5)
     best = jnp.min(jnp.where(ok, dist, jnp.inf))
     return jnp.where(jnp.isfinite(best), best, -1.0)
+
+
+def _light_phases(cfg: JaxEnvConfig, lights: jnp.ndarray, step) -> jnp.ndarray:
+    """[L] i32 phase per light at `step` (0 green, 1 yellow, 2 red) under
+    the forced cycle (atomic_criteria.py:1869-1871)."""
+    t = step.astype(jnp.float32) * cfg.dt
+    u = (t + lights[:, 2]) % CYCLE
+    return jnp.where(u < GREEN_TIME, 0,
+                     jnp.where(u < GREEN_TIME + YELLOW_TIME, 1, 2))
+
+
+def _red_light_check(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState
+                     ) -> JaxEnvState:
+    """Vectorized RunningRedLightCriterion (traffic_lights.py:221-307 ≙
+    atomic_criteria.py:1836-2075): if the ego tail segment crosses a red
+    light's stop line (centered on the trigger volume) in the ego's
+    lane/direction within DISTANCE_LIGHT, count one infraction, debounced
+    per light via `last_red` (the reference's `_last_red_light_id`)."""
+    lights = bank.lights[state.route_id]                    # [L, 5]
+    lvalid = lights[:, 0] < _FAR / 2
+    phase = _light_phases(cfg, lights, state.step)
+    is_red = (phase == 2) & lvalid
+
+    fwd = _heading(state.yaw)
+    tail_close = state.pos - 0.8 * _VEH_EXTENT * fwd
+    tail_far = state.pos - (_VEH_EXTENT + 1.0) * fwd
+    center = lights[:, :2]
+    d_center = jnp.linalg.norm(center - state.pos[None], axis=-1)
+    near = d_center <= 10.0                                 # DISTANCE_LIGHT
+
+    ldir = lights[:, 3:5]
+    same_dir = (ldir @ fwd) > 0.0
+    rel = tail_far[None] - center
+    lateral = jnp.abs(rel[:, 0] * ldir[:, 1] - rel[:, 1] * ldir[:, 0])
+    lane_ok = same_dir & (lateral <= 0.8 * _LANE_WIDTH)
+
+    perp = jnp.stack([-ldir[:, 1], ldir[:, 0]], axis=-1)
+    half = 0.4 * _LANE_WIDTH
+    lft = center + half * perp                              # [L, 2]
+    rgt = center - half * perp
+
+    def orient(a, b, c):
+        v = ((b[..., 0] - a[..., 0]) * (c[..., 1] - a[..., 1])
+             - (b[..., 1] - a[..., 1]) * (c[..., 0] - a[..., 0]))
+        return jnp.sign(jnp.where(jnp.abs(v) < 1e-12, 0.0, v))
+
+    p1, p2 = tail_close[None], tail_far[None]
+    o1, o2 = orient(p1, p2, lft), orient(p1, p2, rgt)
+    o3, o4 = orient(lft, rgt, p1), orient(lft, rgt, p2)
+    crossed = (o1 != o2) & (o3 != o4)
+
+    idx = jnp.arange(lights.shape[0])
+    fire = is_red & near & lane_ok & crossed & (idx != state.last_red)
+    any_fire = jnp.any(fire)
+    fired_idx = jnp.argmax(fire)
+    last_red = jnp.where(any_fire, fired_idx,
+                         state.last_red).astype(jnp.int32)
+    infr = state.infractions.at[0].add(any_fire.astype(jnp.int32))
+    return state._replace(last_red=last_red, infractions=infr)
+
+
+def _point_in_bb(p, center, ext, yaw_deg):
+    """Oriented-bbox containment, batched over boxes [S, ...] for a point
+    [2] (traffic_lights.py::_point_inside_bb)."""
+    c = jnp.cos(jnp.deg2rad(yaw_deg))
+    s = jnp.sin(jnp.deg2rad(yaw_deg))
+    rel = p[None] - center
+    lx = c * rel[..., 0] + s * rel[..., 1]
+    ly = -s * rel[..., 0] + c * rel[..., 1]
+    return (jnp.abs(lx) < ext[..., 0]) & (jnp.abs(ly) < ext[..., 1])
+
+
+def _stop_sign_check(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState
+                     ) -> JaxEnvState:
+    """Vectorized RunningStopCriterion (traffic_lights.py:320-388 ≙
+    atomic_criteria.py:2076+): scan -> target acquisition when the ego's
+    20 m forward horizon enters a trigger bbox -> require speed < 0.1
+    before leaving the influence region, else one STOP_INFRACTION."""
+    signs = bank.stop_signs[state.route_id]                 # [S, 5]
+    svalid = signs[:, 0] < _FAR / 2
+    if signs.shape[0] == 0:
+        return state
+    center, ext, yaw = signs[:, :2], signs[:, 2:4], signs[:, 4]
+    fwd = _heading(state.yaw)
+    d = jnp.linalg.norm(center - state.pos[None], axis=-1)
+    # 21-point forward horizon at 1 m steps (WAYPOINT_STEP/HORIZON_STEPS)
+    ks = jnp.arange(21, dtype=jnp.float32)
+    pts = state.pos[None] + ks[:, None] * fwd[None]         # [21, 2]
+    inside = jax.vmap(lambda p: _point_in_bb(p, center, ext, yaw))(pts)
+    affected_now = svalid & (d <= 50.0) & jnp.any(inside, axis=0)   # [S]
+
+    target, stopped, affected = (state.stop_state[0], state.stop_state[1],
+                                 state.stop_state[2])
+    no_target = target < 0
+    first = jnp.argmax(affected_now)
+    acquired = no_target & jnp.any(affected_now)
+    target_i = jnp.where(acquired, first, target.astype(jnp.int32))
+
+    has_target = ~no_target
+    ti = jnp.clip(target_i, 0, signs.shape[0] - 1).astype(jnp.int32)
+    stopped = jnp.where(has_target & (state.speed < 0.1), 1.0, stopped)
+    ego_in = _point_in_bb(state.pos, center[ti][None], ext[ti][None],
+                          yaw[ti][None])[0]
+    affected = jnp.where(has_target & ego_in, 1.0, affected)
+    leaving = has_target & ~affected_now[ti]
+    infraction = leaving & (affected >= 0.5) & (stopped < 0.5)
+
+    # on leave (or fresh acquire) reset the machine
+    target_o = jnp.where(leaving, -1, target_i).astype(jnp.float32)
+    stopped = jnp.where(leaving | acquired, 0.0, stopped)
+    affected = jnp.where(leaving | acquired, 0.0, affected)
+    infr = state.infractions.at[1].add(infraction.astype(jnp.int32))
+    return state._replace(
+        stop_state=jnp.stack([target_o, stopped, affected]),
+        infractions=infr)
 
 
 def _physics(cfg: JaxEnvConfig, state: JaxEnvState, control: jnp.ndarray
@@ -638,12 +791,9 @@ def _render_rgb(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
     img = _rect_scan(img, u - r, u + r, v - 2 * r, v, col, okd)
 
     # traffic lights: head box + pole, forced short cycle
-    lights = bank.lights[state.route_id]                   # [L, 3]
+    lights = bank.lights[state.route_id]                   # [L, 5]
     lvalid = lights[:, 0] < _FAR / 2
-    t = state.step.astype(jnp.float32) * cfg.dt
-    u_cyc = (t + lights[:, 2]) % CYCLE
-    phase = jnp.where(u_cyc < GREEN_TIME, 0,
-                      jnp.where(u_cyc < GREEN_TIME + YELLOW_TIME, 1, 2))
+    phase = _light_phases(cfg, lights, state.step)
     xf, yl = to_cam(lights[:, :2])
     okl = (xf >= 1.5) & (xf <= 60.0) & lvalid
     xf_s = jnp.maximum(xf, 1e-3)
@@ -742,7 +892,10 @@ def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key) -> JaxEnvState:
         begin=jnp.asarray(1, jnp.int32), obstacles=obstacles,
         hazard_speed=hazard_speed,
         weather=weather.astype(jnp.int32),
-        turn=jnp.zeros(8, jnp.float32), rng=k_state)
+        turn=jnp.zeros(8, jnp.float32),
+        last_red=jnp.asarray(-1, jnp.int32),
+        stop_state=jnp.asarray([-1.0, 0.0, 0.0], jnp.float32),
+        infractions=jnp.zeros(2, jnp.int32), rng=k_state)
 
 
 def _observe(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState, scal,
@@ -779,6 +932,8 @@ def _step_one(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
     state = state._replace(rng=rng)
 
     stepped, collision = _physics(cfg, _spring_hazards(cfg, state), control)
+    stepped = _red_light_check(cfg, bank, stepped)
+    stepped = _stop_sign_check(cfg, bank, stepped)
     stepped = _plan_pop(cfg, bank, stepped)
     scal = _scalars(cfg, bank, stepped)
     stepped = _update_turn(stepped, scal["w"], scal["list_mask"])
@@ -796,7 +951,8 @@ def _step_one(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
     return nxt, StepOutput(
         rgb=rgb, route_fig=fig, measurements=meas,
         command=jnp.asarray(3, jnp.int32), rewards=rewards, done=done,
-        action_done=action_done, completion=completion, error_code=err)
+        action_done=action_done, completion=completion, error_code=err,
+        infractions=stepped.infractions)
 
 
 # ---------------------------------------------------------------- public API

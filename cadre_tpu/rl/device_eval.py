@@ -82,7 +82,8 @@ def evaluate_device(agent: CadreAgent, env: JaxDrivingEnv,
             obs2 = dict(rgb=out.rgb, route_fig=out.route_fig,
                         measurements=out.measurements, command=out.command)
             return ((env_state, obs2, feat_hist, out.done),
-                    (out.done, out.completion, out.error_code))
+                    (out.done, out.completion, out.error_code,
+                     out.infractions))
 
         k0, k1 = jax.random.split(key)
         env_state, obs = env.reset(k0)
@@ -92,11 +93,13 @@ def evaluate_device(agent: CadreAgent, env: JaxDrivingEnv,
                              jax.random.split(k1, max_steps))
         return ys
 
-    done, completion, err = jax.device_get(
+    done, completion, err, infractions = jax.device_get(
         run(jax.random.PRNGKey(seed), stacked, agent.danet_vars))
-    # collision error -> driving-score penalty (statistics_manager.py:22-26
-    # via envs/scoring.py; the device env ends the episode on the first
-    # collision, so at most one penalty applies)
+    # full penalty table (statistics_manager.py:22-26 via envs/scoring.py):
+    # collision 0.65/0.60/0.50 (the device env ends the episode on the
+    # first collision, so at most one applies) composed with 0.70 per red
+    # light and 0.80 per stop infraction accumulated in-episode by the
+    # in-graph criteria (envs/jax_env.py::_red_light_check/_stop_sign_check)
     penalty_by_code = {1: 0.65, 2: 0.60, 3: 0.50}
     episodes = []
     start = np.zeros(n, np.int64)
@@ -104,11 +107,15 @@ def evaluate_device(agent: CadreAgent, env: JaxDrivingEnv,
         for i in np.nonzero(done[t])[0]:
             code = int(err[t, i])
             comp = float(completion[t, i])
-            pen = penalty_by_code.get(code, 1.0)
+            n_red = int(infractions[t, i, 0])
+            n_stop = int(infractions[t, i, 1])
+            pen = (penalty_by_code.get(code, 1.0)
+                   * 0.70 ** n_red * 0.80 ** n_stop)
             episodes.append(dict(
                 completion=comp,
                 error=ERROR_CODES.get(code, str(code)),
                 steps=int(t - start[i]),
+                red_lights=n_red, stops=n_stop,
                 driving_score=100.0 * comp * pen))
             start[i] = t
     return episodes

@@ -53,6 +53,8 @@ class IterationMetrics(NamedTuple):
     mean_throttle_reward: jnp.ndarray
     episodes_done: jnp.ndarray
     completion_sum: jnp.ndarray      # sum of completion at done steps
+    error_hist: jnp.ndarray          # [9] f32 done-step counts per ERROR_CODE
+    red_lights: jnp.ndarray          # red-light infractions over done episodes
     checksum: jnp.ndarray            # data-dependent scalar (anti-DCE sync)
 
 
@@ -133,7 +135,8 @@ def make_device_iteration(agent: CadreAgent, env: JaxDrivingEnv,
                 s_mask=1.0 - out.action_done[:, 0].astype(jnp.float32),
                 t_mask=1.0 - out.action_done[:, 1].astype(jnp.float32),
                 hn=hidden[0], cn=hidden[1], command=commands,
-                done=out.done, completion=out.completion)
+                done=out.done, completion=out.completion,
+                error_code=out.error_code, red=out.infractions[:, 0])
             return (env_state, obs2, feat_hist, out.done), ys
 
         keys = jax.random.split(k_scan, t_steps)
@@ -179,6 +182,9 @@ def make_device_iteration(agent: CadreAgent, env: JaxDrivingEnv,
             mean_throttle_reward=ys["reward"][:, :, 1].mean(),
             episodes_done=done_f.sum(),
             completion_sum=(ys["completion"] * done_f).sum(),
+            error_hist=(jax.nn.one_hot(ys["error_code"], 9)
+                        * done_f[..., None]).sum(axis=(0, 1)),
+            red_lights=(ys["red"].astype(jnp.float32) * done_f).sum(),
             checksum=ys["reward"].sum()
             + jax.tree_util.tree_leaves(params)[0].sum())
         return params, opt_state, DeviceCarry(env_state, obs, feat_hist,

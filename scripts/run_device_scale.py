@@ -34,8 +34,11 @@ import numpy as np
 
 
 def run(args) -> dict:
+    import dataclasses
+
     from cadre_tpu.configs.agent_config import RolloutConfig, TrainConfig
     from cadre_tpu.envs.jax_env import (
+        ERROR_CODES,
         JaxDrivingEnv,
         JaxEnvConfig,
         make_route_bank,
@@ -122,7 +125,10 @@ def run(args) -> dict:
                    mean_completion=round(
                        float(m.completion_sum) / max(eps, 1.0), 4),
                    steer_reward=round(float(m.mean_steer_reward), 4),
-                   throttle_reward=round(float(m.mean_throttle_reward), 4))
+                   throttle_reward=round(float(m.mean_throttle_reward), 4),
+                   error_hist={ERROR_CODES[c]: int(v) for c, v in
+                               enumerate(np.asarray(m.error_hist)) if v},
+                   red_lights=int(m.red_lights))
         rows.append(row)
         if (i + 1) % args.log_every == 0 or i == 0:
             print(f"iter {i}: {row['env_steps_per_sec']:.0f} steps/s, "
@@ -141,8 +147,12 @@ def run(args) -> dict:
     eval_bank = make_route_bank(args.routes, seed=args.seed + 1000,
                                 route_legs=args.route_legs,
                                 route_leg_len=leg_len)
+    # eval-mode env (training=False): d_max_eval widening, no early
+    # termination on static collision/overspeed — the host eval protocol
+    # (scripts/cascade_proof.py eval arm / eval_agent_config.py:51-57)
     eval_env = JaxDrivingEnv(eval_bank, num_envs=args.eval_envs,
-                             config=env_cfg)
+                             config=dataclasses.replace(env_cfg,
+                                                        training=False))
     members = snaps[-args.eval_members:] if snaps else []
     episodes = []
     if members:
@@ -176,6 +186,8 @@ def run(args) -> dict:
         eval=dict(members=len(members), episodes=len(episodes),
                   mean_completion=mean("completion"),
                   mean_driving_score=mean("driving_score"),
+                  red_lights=sum(e.get("red_lights", 0) for e in episodes),
+                  stops=sum(e.get("stops", 0) for e in episodes),
                   error_histogram=dict(errors),
                   rows=episodes),
         prior_floor=dict(

@@ -28,7 +28,8 @@ def _bank_from_sim(sim) -> RouteBank:
     cums[0, :n] = cum
     return RouteBank(jnp.asarray(routes), jnp.asarray([n], np.int32),
                      jnp.asarray(cums),
-                     jnp.asarray(np.full((1, 8, 3), 1e8, np.float32)))
+                     jnp.asarray(np.full((1, 8, 5), 1e8, np.float32)),
+                     jnp.asarray(np.full((1, 2, 5), 1e8, np.float32)))
 
 
 def test_bank_from_nocrash_routes_file():
