@@ -64,7 +64,11 @@ from cadre_tpu.envs.route_fig import (
     SIZE_X,
     SIZE_Y,
 )
-from cadre_tpu.envs.sim_env import WEATHER_PRESETS, synthetic_route
+from cadre_tpu.envs.sim_env import (
+    WEATHER_PRESETS,
+    roadside_props,
+    synthetic_route,
+)
 from cadre_tpu.envs.traffic_lights import (
     CYCLE,
     GREEN_TIME,
@@ -128,6 +132,11 @@ class JaxEnvConfig:
     max_offroad: float = 30.0      # InRoute deviation threshold
     randomize_weather: bool = True
     render: bool = True            # False: skip rgb/fig (env-core studies)
+    # camera-route protocol (scripts/cascade_proof.py BlindRouteSim twin):
+    # zero the privileged (dis, theta) measurements in the POLICY obs so
+    # route geometry is only reachable through the camera -> encoder path;
+    # reward/termination still use the true values internally
+    blind_route: bool = False
     # Scenario-3-style crossing hazards (srunner DynamicObjectCrossing,
     # object_crash_vehicle.py): pedestrians armed at lateral offsets along
     # the route that spring into a straight crossing walk when the ego
@@ -148,6 +157,9 @@ class RouteBank(NamedTuple):
     #                                dir_y); x=_FAR pad
     stop_signs: jnp.ndarray        # [K, S, 5] f32 (x, y, ext_x, ext_y,
     #                                yaw_deg); x=_FAR pad
+    props: jnp.ndarray             # [K, P, 6] f32 roadside scenery
+    #                                (x, y, half_w, height, kind, shade);
+    #                                x=_FAR pad (sim_env.roadside_props)
 
 
 class JaxEnvState(NamedTuple):
@@ -203,7 +215,9 @@ def make_route_bank(n_routes: int, seed: int = 0, route_legs: int = 3,
                     max_lights: int = 8, pad: int = 80,
                     routes_file: Optional[str] = None,
                     max_stop_signs: int = 2,
-                    stop_sign_prob: float = 0.0) -> RouteBank:
+                    stop_sign_prob: float = 0.0,
+                    max_props: int = 40,
+                    with_props: bool = True) -> RouteBank:
     """Host-side episode-bank builder (same synthetic-route generator and
     corner-light synthesizer as SimDrivingEnv._world_reset).
 
@@ -228,7 +242,7 @@ def make_route_bank(n_routes: int, seed: int = 0, route_legs: int = 3,
                                      leg_len=route_leg_len)
                      for _ in range(n_routes)]
 
-    dense_list, lights_list, signs_list = [], [], []
+    dense_list, lights_list, signs_list, props_list = [], [], [], []
     for pts in keypoints:
         dense = interpolate_route(pts, resolution=1.0)
         dense_list.append(dense)
@@ -253,6 +267,11 @@ def make_route_bank(n_routes: int, seed: int = 0, route_legs: int = 3,
                 n_li += 1
         lights_list.append(arr)
         signs_list.append(signs)
+        pr = np.full((max_props, 6), _FAR, np.float32)
+        if with_props:
+            gen = roadside_props(dense, rng, max_props=max_props)
+            pr[:len(gen)] = gen
+        props_list.append(pr)
     # pad past the longest route by `pad` endpoint copies so a window
     # dynamic_slice at head <= rlen-2 never has to clip its start
     r_max = max(len(d) for d in dense_list) + pad
@@ -268,7 +287,8 @@ def make_route_bank(n_routes: int, seed: int = 0, route_legs: int = 3,
         lens[i] = len(d)
     return RouteBank(jnp.asarray(routes), jnp.asarray(lens),
                      jnp.asarray(cums), jnp.asarray(np.stack(lights_list)),
-                     jnp.asarray(np.stack(signs_list)))
+                     jnp.asarray(np.stack(signs_list)),
+                     jnp.asarray(np.stack(props_list)))
 
 
 # ---------------------------------------------------------------- core math
@@ -756,6 +776,45 @@ def _render_rgb(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
         yl = -rel[:, 0] * sin_y + rel[:, 1] * cos_y
         return xf, yl
 
+    # roadside props (sim_env.roadside_props twin): interleaved
+    # (body, sign-head) rects per prop in bank order, matching the host
+    # renderer's paint order pixel-for-pixel
+    props = bank.props[state.route_id]                     # [P, 6]
+    if props.shape[0]:
+        pvalid = props[:, 0] < _FAR / 2
+        xf, yl = to_cam(props[:, :2])
+        okp = pvalid & (xf >= 2.0) & (xf <= 60.0)
+        xf_s = jnp.maximum(xf, 1e-3)
+        u = w / 2.0 - _FOCAL * yl / xf_s
+        vg = horizon + _FOCAL * _CAM_H / xf_s
+        vt = horizon - _FOCAL * (props[:, 3] - _CAM_H) / xf_s
+        r = jnp.maximum(1.0, jnp.floor(_FOCAL * props[:, 2] / xf_s))
+        kind, shade = props[:, 4], props[:, 5]
+        is_pole = kind == 5.0
+        col = jnp.where(
+            (kind == 4.0)[:, None],
+            jnp.stack([100.0 + 60.0 * shade, 95.0 + 55.0 * shade,
+                       90.0 + 50.0 * shade], axis=-1),
+            jnp.where((kind == 6.0)[:, None],
+                      jnp.stack([jnp.full_like(shade, 30.0),
+                                 110.0 + 70.0 * shade,
+                                 jnp.full_like(shade, 35.0)], axis=-1),
+                      jnp.broadcast_to(jnp.asarray([140.0, 140.0, 140.0]),
+                                       (props.shape[0], 3))))
+        rs = jnp.maximum(1.0, jnp.floor(_FOCAL * 0.5 / xf_s))
+        sign_col = jnp.broadcast_to(jnp.asarray([200.0, 180.0, 40.0]),
+                                    (props.shape[0], 3))
+
+        def ileave(a, b):
+            return jnp.stack([a, b], axis=1).reshape(
+                (2 * props.shape[0],) + a.shape[1:])
+
+        img = _rect_scan(
+            img,
+            ileave(u - r, u - rs), ileave(u + r, u + rs),
+            ileave(vt, vt - rs), ileave(vg, vt + rs),
+            ileave(col, sign_col), ileave(okp, okp & is_pole))
+
     # route markers: every 2nd waypoint of a 64-entry window ahead
     wnd, valid, _ = _route_window(cfg, bank, state, cfg.rgb_window)
     pts = wnd[::2]
@@ -902,6 +961,8 @@ def _observe(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState, scal,
              key) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     meas = jnp.stack([state.speed / cfg.max_speed, scal["dis"] / 3.0,
                       jnp.abs(jnp.rad2deg(scal["theta"])) / 90.0])
+    if cfg.blind_route:
+        meas = meas * jnp.asarray([1.0, 0.0, 0.0])
     if not cfg.render:
         return (jnp.zeros((_H, _W, 3), jnp.float32),
                 jnp.zeros((_FH, _FW), jnp.float32), meas)

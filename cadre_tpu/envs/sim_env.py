@@ -89,6 +89,60 @@ def synthetic_route(rng: np.random.RandomState, n_legs: int = 3,
     return np.asarray(pts)
 
 
+# roadside prop kinds = CARLA-0.9.10 reduced seg classes 4/5/6
+# (Config/auto_danet.py:123-130): building/wall, fence/pole/sign,
+# vegetation/terrain. These give the 8-class seg head support beyond
+# {road, car, person, road line} (VERDICT r2 weak #3).
+PROP_BUILDING = 4.0
+PROP_POLE = 5.0
+PROP_VEGETATION = 6.0
+
+
+def roadside_props(dense: np.ndarray, rng: np.random.RandomState,
+                   spacing: float = 22.0,
+                   lateral: Tuple[float, float] = (8.0, 14.0),
+                   max_props: int = 40) -> np.ndarray:
+    """[P, 6] roadside scenery records (x, y, half_w, height, kind, shade)
+    stationed every ~`spacing` m along the 1 m-dense route at a random
+    lateral offset. Shared by the host and device renderers so an encoder
+    pretrained on host frames sees the same world on-device."""
+    out = []
+    step = max(int(spacing), 2)
+    for i in range(step, len(dense) - 1, step):
+        d = dense[i + 1] - dense[i - 1]
+        n = float(np.hypot(*d))
+        if n < 1e-6:
+            continue
+        u = d / n
+        perp = np.array([-u[1], u[0]])
+        side = 1.0 if rng.rand() < 0.5 else -1.0
+        p = dense[i] + side * rng.uniform(*lateral) * perp
+        k = rng.rand()
+        if k < 0.5:
+            kind, half_w = PROP_BUILDING, rng.uniform(2.5, 5.5)
+            height = rng.uniform(5.0, 11.0)
+        elif k < 0.85:
+            kind, half_w = PROP_VEGETATION, rng.uniform(1.2, 2.8)
+            height = rng.uniform(2.0, 4.0)
+        else:
+            kind, half_w = PROP_POLE, 0.15
+            height = rng.uniform(2.5, 3.5)
+        out.append([p[0], p[1], half_w, height, kind, rng.rand()])
+        if len(out) >= max_props:
+            break
+    return np.asarray(out, np.float32).reshape(-1, 6)
+
+
+def prop_color(kind: float, shade: float) -> Tuple[float, float, float]:
+    """Deterministic prop color (same formula in both renderers)."""
+    if kind == PROP_BUILDING:
+        return (100.0 + 60.0 * shade, 95.0 + 55.0 * shade,
+                90.0 + 50.0 * shade)
+    if kind == PROP_VEGETATION:
+        return (30.0, 110.0 + 70.0 * shade, 35.0)
+    return (140.0, 140.0, 140.0)                 # pole
+
+
 class SimDrivingEnv(BaseDrivingEnv):
     def __init__(self, routes_file: Optional[str] = None,
                  scenario_file: Optional[str] = None,
@@ -103,6 +157,8 @@ class SimDrivingEnv(BaseDrivingEnv):
                  sun_altitude: float = 70.0,
                  route_legs: int = 3,
                  route_leg_len: Tuple[float, float] = (40.0, 90.0),
+                 with_props: bool = True,
+                 light_times: Optional[Tuple[float, float, float]] = None,
                  **kwargs):
         super().__init__(training=training, **kwargs)
         self._rng = np.random.RandomState(seed)
@@ -137,6 +193,14 @@ class SimDrivingEnv(BaseDrivingEnv):
         self._sun_altitude = sun_altitude
         self._sun_altitude0 = sun_altitude
         self._lights: List[TrafficLightInfo] = []
+        self._with_props = with_props
+        # collection-time override of the forced light cycle
+        # (GREEN/YELLOW/RED_TIME): the RL-parity cycle keeps red at 0.5 s of
+        # an 8.5 s period, which starves the light head's red class in
+        # expert-collected data (VERDICT r2 weak #3); collectors pass e.g.
+        # (3, 3, 3) for phase-balanced labels
+        self._light_times = light_times
+        self._props = np.zeros((0, 6), np.float32)
         self._collision = {"static": False, "vehicle": False, "walker": False}
         self._current_config: Optional[RouteConfig] = None
         self._control_noise = 0.0
@@ -204,8 +268,13 @@ class SimDrivingEnv(BaseDrivingEnv):
         # real in the CARLA-free world)
         if self._with_traffic_lights:
             self._lights = lights_at_route_corners(pts, dense, self._rng)
+            if self._light_times is not None:
+                for li in self._lights:
+                    li.times = self._light_times
         else:
             self._lights = []
+        self._props = roadside_props(dense, self._rng) if self._with_props \
+            else np.zeros((0, 6), np.float32)
 
         blocked_s = 180.0 if self.training else 800 * self.dt
         self._criteria = default_criteria(dense, dt=self.dt,
@@ -359,6 +428,35 @@ class SimDrivingEnv(BaseDrivingEnv):
         f = 128.0  # focal (pixels), 90-degree fov at 256 wide
         horizon = h // 2
         cam_h = 1.3
+        # roadside props (buildings/vegetation/poles -> seg classes 4/6/5),
+        # painted before the route ribbon/obstacles/lights so the policy-
+        # relevant pixels stay on top; prop order matches the device
+        # renderer's sequential rect scan for pixel parity
+        for prop in self._props:
+            px, py, half_w, height, kind, shade = (float(v) for v in prop)
+            relx, rely = px - self._pos[0], py - self._pos[1]
+            xf = relx * cos_y + rely * sin_y
+            yl = -relx * sin_y + rely * cos_y
+            if xf < 2.0 or xf > 60.0:
+                continue
+            u = int(w / 2 - f * yl / xf)
+            vg = int(horizon + f * cam_h / xf)
+            vt = int(horizon - f * (height - cam_h) / xf)
+            r = max(1, int(f * half_w / xf))
+            color = prop_color(kind, shade)
+            seg_cls = int(kind)
+            u0, u1 = max(0, u - r), min(w, u + r)
+            v0, v1 = max(0, vt), min(h, vg)
+            if u1 > u0 and v1 > v0:
+                img[v0:v1, u0:u1] = color
+                seg[v0:v1, u0:u1] = seg_cls
+            if kind == PROP_POLE:       # sign head box on the pole top
+                rs = max(1, int(f * 0.5 / xf))
+                su0, su1 = max(0, u - rs), min(w, u + rs)
+                sv0, sv1 = max(0, vt - rs), min(h, vt + rs)
+                if su1 > su0 and sv1 > sv0:
+                    img[sv0:sv1, su0:su1] = (200, 180, 40)
+                    seg[sv0:sv1, su0:su1] = 5
         # vectorized projection of route markers
         rel = self._route_xy[::2] - self._pos
         xf_all = rel[:, 0] * cos_y + rel[:, 1] * sin_y   # forward
@@ -410,10 +508,12 @@ class SimDrivingEnv(BaseDrivingEnv):
             u0, u1 = max(0, u - r), min(w, u + r)
             if v1 > v0 and u1 > u0:
                 img[v0:v1, u0:u1] = color
+                seg[v0:v1, u0:u1] = 5        # pole/sign seg class
                 # pole down to the road surface
                 vg = int(horizon + f * cam_h / xf)
                 img[max(0, v1):min(h, vg), max(0, u - 1):min(w, u + 1)] = \
                     (60, 60, 60)
+                seg[max(0, v1):min(h, vg), max(0, u - 1):min(w, u + 1)] = 5
 
         # weather pass: global brightness below the horizon + sensor noise
         if brightness != 1.0:

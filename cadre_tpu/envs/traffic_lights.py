@@ -72,15 +72,20 @@ class TrafficLightInfo:
     phase: float = 0.0            # cycle phase offset (sim state machine)
     frozen: Optional[str] = None  # forced state (update_light_states)
     actor: Any = None             # backing simulator actor, if any
+    # per-light (green, yellow, red) override of the forced cycle — used by
+    # data collection to balance light-state labels (red is 0.5 s of the
+    # 8.5 s RL-parity cycle, starving the light head's red class)
+    times: Optional[tuple] = None
 
     def state_at(self, t: float) -> str:
         """Sim-side cycle green -> yellow -> red with the forced times."""
         if self.frozen is not None:
             return self.frozen
-        u = (t + self.phase) % CYCLE
-        if u < GREEN_TIME:
+        g, y, _ = self.times or (GREEN_TIME, YELLOW_TIME, RED_TIME)
+        u = (t + self.phase) % (sum(self.times) if self.times else CYCLE)
+        if u < g:
             return GREEN
-        if u < GREEN_TIME + YELLOW_TIME:
+        if u < g + y:
             return YELLOW
         return RED
 

@@ -65,7 +65,10 @@ def run(args) -> dict:
                               danet_vars=danet_vars, bf16_encoder=True)
 
     leg_len = (args.leg_min, args.leg_max)
-    env_cfg = JaxEnvConfig(n_hazards=args.hazards)
+    # camroute implies the blind-route obs too (the host protocol masks the
+    # privileged dis/theta measurements as well as the raster input plane)
+    env_cfg = JaxEnvConfig(n_hazards=args.hazards,
+                           blind_route=bool(args.camroute))
     bank = make_route_bank(args.routes, seed=args.seed,
                            route_legs=args.route_legs, route_leg_len=leg_len)
     env = JaxDrivingEnv(bank, num_envs=args.num_envs, config=env_cfg)

@@ -58,7 +58,8 @@ def _straight_bank(length=80, light=None, sign=None) -> RouteBank:
         signs[0, 0] = [sign, 0.0, 2.0, 1.75, 0.0]
     return RouteBank(jnp.asarray(routes), jnp.asarray([n], np.int32),
                      jnp.asarray(cums), jnp.asarray(lights),
-                     jnp.asarray(signs))
+                     jnp.asarray(signs),
+                     jnp.asarray(np.full((1, 1, 6), 1e8, np.float32)))
 
 
 def _run_device(bank, controls_fn, steps=120):

@@ -26,10 +26,14 @@ def _bank_from_sim(sim) -> RouteBank:
     cum /= cum[-1]
     cums = np.ones((1, n + 80), np.float32)
     cums[0, :n] = cum
+    props = np.full((1, 40, 6), 1e8, np.float32)
+    sim_props = getattr(sim, "_props", np.zeros((0, 6), np.float32))
+    props[0, :len(sim_props)] = sim_props      # pixel parity incl. scenery
     return RouteBank(jnp.asarray(routes), jnp.asarray([n], np.int32),
                      jnp.asarray(cums),
                      jnp.asarray(np.full((1, 8, 5), 1e8, np.float32)),
-                     jnp.asarray(np.full((1, 2, 5), 1e8, np.float32)))
+                     jnp.asarray(np.full((1, 2, 5), 1e8, np.float32)),
+                     jnp.asarray(props))
 
 
 def test_bank_from_nocrash_routes_file():
