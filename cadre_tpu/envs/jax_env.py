@@ -121,6 +121,15 @@ class JaxEnvConfig:
     window: int = 52               # planner lookahead entries (1 m dense)
     rgb_window: int = 64           # camera route-marker lookahead entries
     n_vehicles: int = 6
+    # background vehicles DRIVE the route (CARLA traffic-manager autopilot,
+    # route_scenario.py:473-495): cruise-speed range, car-following gap, and
+    # accel limit of the kinematic follower. Parked-forever NPCs were the
+    # diagnosed 35%-completion floor — the ego reward-farms behind a car
+    # that never moves until route timeout (reward.py obstacle shaping +
+    # detect-refreshed block timer, both faithful to env_wrapper.py:443-476).
+    npc_cruise: Tuple[float, float] = (3.0, 6.5)
+    npc_gap: float = 8.0
+    npc_accel: float = 3.0
     n_walkers: int = 6
     min_speed: float = 5.0
     max_speed: float = 9.0
@@ -177,6 +186,9 @@ class JaxEnvState(NamedTuple):
     obstacles: jnp.ndarray         # [M, 6] x, y, radius, kind, speed, heading
     hazard_speed: jnp.ndarray      # [M] f32 latent crossing speed of an
     #                                armed scenario hazard (0 = not a hazard)
+    npc_s: jnp.ndarray             # [M] f32 route arc position (m) of a
+    #                                route-driving vehicle; -1 = not bound
+    npc_cruise: jnp.ndarray        # [M] f32 cruise speed of a route vehicle
     weather: jnp.ndarray           # i32 preset index
     turn: jnp.ndarray              # [8] TurnState: first_xy, last_xy,
     #                                first_dir, has_first, has_last, in_turn
@@ -565,8 +577,8 @@ def _stop_sign_check(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState
         infractions=infr)
 
 
-def _physics(cfg: JaxEnvConfig, state: JaxEnvState, control: jnp.ndarray
-             ) -> Tuple[JaxEnvState, jnp.ndarray]:
+def _physics(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
+             control: jnp.ndarray) -> Tuple[JaxEnvState, jnp.ndarray]:
     """One dynamics tick (SimDrivingEnv._world_step). Returns (state,
     collision[3] bool: static, vehicle, walker)."""
     steer = jnp.clip(control[0], -1.0, 1.0)
@@ -580,11 +592,63 @@ def _physics(cfg: JaxEnvConfig, state: JaxEnvState, control: jnp.ndarray
     pos = state.pos + _heading(yaw) * speed * cfg.dt
 
     obs = state.obstacles
-    mover = (obs[:, 4] > 0)                                # walkers wander
+    bound = state.npc_s >= 0.0                  # route-driving vehicles
+    mover = (obs[:, 4] > 0) & ~bound            # walkers wander
     delta = obs[:, 4:5] * cfg.dt * jnp.stack(
         [jnp.cos(obs[:, 5]), jnp.sin(obs[:, 5])], axis=-1)
     new_xy = jnp.where(mover[:, None], obs[:, :2] + delta, obs[:, :2])
+
+    # route-driving NPC vehicles: kinematic car-followers on the dense
+    # route (CARLA traffic-manager autopilot over the ego's lane — the
+    # FollowLeadingVehicle / OtherLeadingVehicle pressure of NoCrash
+    # traffic). Hold for anything ahead within npc_gap (ego or another
+    # NPC) and for red lights at their stop line, else track cruise.
+    route = bank.routes[state.route_id]
+    rlen = bank.route_len[state.route_id].astype(jnp.float32)
+    s = jnp.maximum(state.npc_s, 0.0)
+    i0 = jnp.clip(s.astype(jnp.int32), 0, route.shape[0] - 2)
+    pcur = route[i0] + (s - i0)[:, None] * (route[i0 + 1] - route[i0])
+    seg = route[i0 + 1] - route[i0]
+    dirn = seg / jnp.maximum(
+        jnp.linalg.norm(seg, axis=-1, keepdims=True), 1e-6)
+    others = jnp.concatenate([obs[:, :2], pos[None]], axis=0)  # [M+1, 2]
+    relo = others[None, :, :] - pcur[:, None, :]
+    fwd_d = jnp.einsum("mnk,mk->mn", relo, dirn)
+    lat_d = jnp.abs(relo[..., 0] * dirn[:, 1:2]
+                    - relo[..., 1] * dirn[:, 0:1])
+    m = obs.shape[0]
+    not_self = ~jnp.eye(m, m + 1, dtype=bool)
+    held = jnp.any((fwd_d > 0.1) & (fwd_d < cfg.npc_gap)
+                   & (lat_d < 2.5) & not_self, axis=1)
+    lights = bank.lights[state.route_id]
+    red = (_light_phases(cfg, lights, state.step) == 2) & \
+        (lights[:, 0] < _FAR / 2)
+    rell = lights[None, :, :2] - pcur[:, None, :]
+    lfwd = jnp.einsum("mlk,mk->ml", rell, dirn)
+    llat = jnp.abs(rell[..., 0] * dirn[:, 1:2]
+                   - rell[..., 1] * dirn[:, 0:1])
+    same = jnp.einsum("lk,mk->ml", lights[:, 3:5], dirn) > 0.0
+    held = held | jnp.any(red[None, :] & (lfwd > 0.0) & (lfwd < 10.0)
+                          & (llat < 0.8 * _LANE_WIDTH) & same, axis=1)
+    target = jnp.where(held, 0.0, state.npc_cruise)
+    v = jnp.maximum(0.0, jnp.clip(target,
+                                  obs[:, 4] - cfg.npc_accel * cfg.dt,
+                                  obs[:, 4] + cfg.npc_accel * cfg.dt))
+    s_new = s + v * cfg.dt
+    # past the route end: recycle to the start unless the ego is still there
+    near_start = jnp.linalg.norm(route[1] - pos) < 12.0
+    s_new = jnp.where(s_new >= rlen - 2.0,
+                      jnp.where(near_start, rlen - 2.0, 1.0), s_new)
+    i0n = jnp.clip(s_new.astype(jnp.int32), 0, route.shape[0] - 2)
+    pnew = route[i0n] + (s_new - i0n)[:, None] * (route[i0n + 1]
+                                                  - route[i0n])
+    new_xy = jnp.where(bound[:, None], pnew, new_xy)
     obs = obs.at[:, :2].set(new_xy)
+    obs = obs.at[:, 4].set(jnp.where(bound, v, obs[:, 4]))
+    obs = obs.at[:, 5].set(jnp.where(
+        bound, jnp.arctan2(dirn[:, 1], dirn[:, 0]), obs[:, 5]))
+    npc_s = jnp.where(bound, s_new, state.npc_s)
+    state = state._replace(npc_s=npc_s)
 
     d = jnp.linalg.norm(obs[:, :2] - pos[None], axis=-1)
     hit = d < obs[:, 2] + _EGO_RADIUS
@@ -897,15 +961,19 @@ def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key) -> JaxEnvState:
     idx = jax.random.randint(keys[0], (m,), 0, 1 << 30) % \
         jnp.maximum(rlen - lo, 1) + lo
     base = route[idx]
-    lat_v = jax.random.uniform(keys[1], (m, 2), minval=-1.0, maxval=1.0)
     lat_w = jax.random.uniform(keys[1], (m, 2), minval=-3.0, maxval=3.0)
     rank = jnp.arange(m)
     is_walker = rank >= cfg.n_vehicles
-    pos = base + jnp.where(is_walker[:, None], lat_w, lat_v)
+    # vehicles sit ON the route line (they drive it — see _physics);
+    # walkers wander at a lateral offset
+    pos = base + jnp.where(is_walker[:, None], lat_w, 0.0)
     radius = jnp.where(is_walker, 0.4, 1.2)
     kind = jnp.where(is_walker, 1, 0).astype(jnp.float32)
     w_speed = jax.random.uniform(keys[2], (m,), minval=0.3, maxval=1.2)
-    speed = jnp.where(is_walker, w_speed, 0.0)
+    cruise = jax.random.uniform(keys[2], (m,), minval=cfg.npc_cruise[0],
+                                maxval=cfg.npc_cruise[1])
+    is_vehicle = ~is_walker & (rank < cfg.n_vehicles)
+    speed = jnp.where(is_walker, w_speed, jnp.where(is_vehicle, cruise, 0.0))
     heading = jax.random.uniform(keys[3], (m,), minval=0.0,
                                  maxval=2.0 * jnp.pi)
 
@@ -934,6 +1002,8 @@ def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key) -> JaxEnvState:
     radius = jnp.where(real, radius, 0.0)
     speed = jnp.where(real, speed, 0.0)
     hazard_speed = jnp.where(real, hazard_speed, 0.0)
+    npc_s = jnp.where(is_vehicle & real, idx.astype(jnp.float32), -1.0)
+    npc_cruise = jnp.where(is_vehicle & real, cruise, 0.0)
     obstacles = jnp.stack(
         [pos[:, 0], pos[:, 1], radius, kind, speed, heading], axis=-1)
 
@@ -949,7 +1019,7 @@ def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key) -> JaxEnvState:
         step=jnp.asarray(0, jnp.int32),
         last_event_t=jnp.asarray(0, jnp.int32),
         begin=jnp.asarray(1, jnp.int32), obstacles=obstacles,
-        hazard_speed=hazard_speed,
+        hazard_speed=hazard_speed, npc_s=npc_s, npc_cruise=npc_cruise,
         weather=weather.astype(jnp.int32),
         turn=jnp.zeros(8, jnp.float32),
         last_red=jnp.asarray(-1, jnp.int32),
@@ -992,7 +1062,8 @@ def _step_one(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
     rng, k_reset, k_noise = jax.random.split(state.rng, 3)
     state = state._replace(rng=rng)
 
-    stepped, collision = _physics(cfg, _spring_hazards(cfg, state), control)
+    stepped, collision = _physics(cfg, bank, _spring_hazards(cfg, state),
+                                  control)
     stepped = _red_light_check(cfg, bank, stepped)
     stepped = _stop_sign_check(cfg, bank, stepped)
     stepped = _plan_pop(cfg, bank, stepped)

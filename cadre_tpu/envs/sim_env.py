@@ -47,6 +47,12 @@ class SimObstacle:
     # the env's walker-wander loop must then leave it alone (else the actor
     # moves at 2x the commanded speed).
     managed: bool = False
+    # route-driving background vehicle (CARLA traffic-manager autopilot,
+    # route_scenario.py:473-495): arc position (m) along the dense route
+    # (-1 = not route-bound) and its cruise speed. The env advances these
+    # with car-following + red-light stops in _world_step.
+    route_s: float = -1.0
+    cruise: float = 0.0
 
 
 # Weather presets for the renderer (the IL dataset is collected under 15+
@@ -159,6 +165,7 @@ class SimDrivingEnv(BaseDrivingEnv):
                  route_leg_len: Tuple[float, float] = (40.0, 90.0),
                  with_props: bool = True,
                  light_times: Optional[Tuple[float, float, float]] = None,
+                 npc_cruise: Tuple[float, float] = (3.0, 6.5),
                  **kwargs):
         super().__init__(training=training, **kwargs)
         self._rng = np.random.RandomState(seed)
@@ -200,6 +207,7 @@ class SimDrivingEnv(BaseDrivingEnv):
         # expert-collected data (VERDICT r2 weak #3); collectors pass e.g.
         # (3, 3, 3) for phase-balanced labels
         self._light_times = light_times
+        self._npc_cruise = npc_cruise
         self._props = np.zeros((0, 6), np.float32)
         self._collision = {"static": False, "vehicle": False, "walker": False}
         self._current_config: Optional[RouteConfig] = None
@@ -247,14 +255,17 @@ class SimDrivingEnv(BaseDrivingEnv):
         self._speed = 0.0
         self._collision = {"static": False, "vehicle": False, "walker": False}
 
-        # background actors parked near the route
+        # background vehicles drive the route (traffic-manager autopilot);
+        # walkers wander near it
         self._obstacles = []
         total = len(dense)
         for _ in range(int(n_vehicles or 0)):
             i = self._rng.randint(total // 4, total)
-            lateral = self._rng.uniform(-1.0, 1.0)
+            cruise = self._rng.uniform(*self._npc_cruise)
             self._obstacles.append(SimObstacle(
-                pos=dense[i] + lateral, radius=1.2, kind="vehicle"))
+                pos=dense[i].astype(float).copy(), radius=1.2,
+                kind="vehicle", speed=cruise, route_s=float(i),
+                cruise=cruise))
         for _ in range(int(n_walkers or 0)):
             i = self._rng.randint(total // 4, total)
             self._obstacles.append(SimObstacle(
@@ -348,13 +359,68 @@ class SimDrivingEnv(BaseDrivingEnv):
                             math.sin(math.radians(self._yaw))])
         self._pos = self._pos + heading * self._speed * self.dt
 
+        # route-driving background vehicles: kinematic car-followers on the
+        # dense route (same formulas as jax_env._physics — car-following
+        # gap 8 m, red-light stop within 10 m, accel limit 3 m/s^2)
+        dense = self._route_xy
+        t_now = self._step_count * self.dt
+        for ob in self._obstacles:
+            if ob.route_s < 0 or ob.managed:
+                continue
+            i0 = min(int(ob.route_s), len(dense) - 2)
+            seg = dense[i0 + 1] - dense[i0]
+            n = float(np.hypot(*seg))
+            dirn = seg / n if n > 1e-6 else np.array([1.0, 0.0])
+            held = False
+            for other in self._obstacles:
+                if other is ob:
+                    continue
+                rel = other.pos - ob.pos
+                fwd = float(rel @ dirn)
+                lat = abs(float(rel[0] * dirn[1] - rel[1] * dirn[0]))
+                if 0.1 < fwd < 8.0 and lat < 2.5:
+                    held = True
+                    break
+            rel_e = self._pos - ob.pos
+            fwd_e = float(rel_e @ dirn)
+            lat_e = abs(float(rel_e[0] * dirn[1] - rel_e[1] * dirn[0]))
+            held = held or (0.1 < fwd_e < 8.0 and lat_e < 2.5)
+            if not held:
+                for li in self._lights:
+                    if li.state_at(t_now) != RED:
+                        continue
+                    sl = li.stop_lines[0]
+                    rel_l = np.asarray(li.center[:2]) - ob.pos
+                    fwd_l = float(rel_l @ dirn)
+                    lat_l = abs(float(rel_l[0] * dirn[1]
+                                      - rel_l[1] * dirn[0]))
+                    if 0.0 < fwd_l < 10.0 and lat_l < 0.8 * 3.5 and \
+                            float(np.asarray(sl.dir[:2]) @ dirn) > 0:
+                        held = True
+                        break
+            target = 0.0 if held else ob.cruise
+            ob.speed = max(0.0, float(np.clip(
+                target, ob.speed - 3.0 * self.dt,
+                ob.speed + 3.0 * self.dt)))
+            ob.route_s += ob.speed * self.dt
+            if ob.route_s >= len(dense) - 2:
+                # recycle to the start unless the ego is still there
+                if float(np.hypot(*(dense[1] - self._pos))) > 12.0:
+                    ob.route_s = 1.0
+                else:
+                    ob.route_s = float(len(dense) - 2)
+            i0 = min(int(ob.route_s), len(dense) - 2)
+            frac = ob.route_s - i0
+            ob.pos = dense[i0] + frac * (dense[i0 + 1] - dense[i0])
+            ob.heading = math.atan2(dirn[1], dirn[0])
+
         # unmanaged actors with a velocity integrate themselves — wandering
         # walkers, and vehicles released by a finished/one-shot behavior
         # (SetInitSpeed, ChangeAutoPilot, a completed LaneChange); behavior-
         # managed actors advance inside their owner's tick instead
         for ob in self._obstacles:
             if ob.kind in ("walker", "vehicle") and ob.speed > 0 \
-                    and not ob.managed:
+                    and not ob.managed and ob.route_s < 0:
                 ob.pos = ob.pos + ob.speed * self.dt * np.array(
                     [math.cos(ob.heading), math.sin(ob.heading)])
 
