@@ -143,8 +143,13 @@ def main():
         from cadre_tpu.envs.expert import OracleExpert
         from cadre_tpu.envs.sim_env import SimDrivingEnv
 
+        # phase-balanced light cycle (red is 0.5 s of the 8.5 s RL cycle —
+        # unbalanced labels starve the light head's red class) and a slow
+        # traffic mix so the expert closes in on cars for seg-class support
         env = SimDrivingEnv(seed=args.seed, seq_length=2,
-                            vehicle_num=(8, 4), randomize_weather=True)
+                            vehicle_num=(8, 4), randomize_weather=True,
+                            light_times=(3.0, 3.0, 3.0),
+                            npc_cruise=(1.5, 5.0))
         collect_dataset(env, OracleExpert(), args.collect, args.data_dir,
                         seed=args.seed)
 
