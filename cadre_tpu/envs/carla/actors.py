@@ -18,6 +18,17 @@ import numpy as np
 
 VEHICLE_MODEL = "vehicle.*"
 WALKER_MODEL = "walker.pedestrian.*"
+# per-scenario adversary blueprints: cyclist adversary/crosser
+# (object_crash_vehicle.py:219, object_crash_intersection.py:689
+# 'vehicle.diamondback.century') and the jaywalker vision-blocker prop
+# (object_crash_vehicle.py:228-248 'static.prop.vendingmachine')
+KIND_MODELS = {
+    "walker": WALKER_MODEL,
+    "vehicle": VEHICLE_MODEL,
+    "cyclist": "vehicle.diamondback.century",
+    "static": "static.prop.vendingmachine",
+}
+KIND_RADII = {"walker": 0.4, "vehicle": 1.2, "cyclist": 0.6, "static": 0.6}
 
 
 class CarlaActorHandle:
@@ -66,8 +77,8 @@ def spawn_scenario_actor(provider, carla_mod, kind: str, pos,
     and wrap it in a kinematic handle. Returns None if the spawn failed
     (occupied spawn point), mirroring try_spawn_actor semantics."""
     if radius is None:
-        radius = 0.4 if kind == "walker" else 1.2
-    model = WALKER_MODEL if kind == "walker" else VEHICLE_MODEL
+        radius = KIND_RADII.get(kind, 1.2)
+    model = KIND_MODELS.get(kind, VEHICLE_MODEL)
     tf = carla_mod.Transform(
         carla_mod.Location(x=float(pos[0]), y=float(pos[1]), z=z),
         carla_mod.Rotation(yaw=math.degrees(heading)))

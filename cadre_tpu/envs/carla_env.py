@@ -37,6 +37,7 @@ from cadre_tpu.envs.traffic_lights import (
     YELLOW,
     nearest_light_ahead,
 )
+from cadre_tpu.utils.watchdog import Watchdog
 
 # carla.TrafficLightState name -> criteria state (Off/Unknown treated green,
 # matching the reference which only ever tests for Red)
@@ -100,6 +101,13 @@ class CarlaDrivingEnv(BaseDrivingEnv):
                                  "walker": False}
         self._vehicle_num = vehicle_num
         self._timeout = client_timeout
+        # liveness monitor around the server round trip — the reference's
+        # Watchdog slot, instantiated here instead of commented out
+        # (leaderboard/.../scenario_manager.py:67-71): petted before every
+        # world.tick, checked after; a tick+sensor round trip longer than
+        # the client timeout raises instead of hanging the worker forever
+        self._watchdog = Watchdog(timeout=client_timeout, name="carla-tick")
+        self._watchdog.start()
         if routes_file:
             idx_cls = PriorityRouteIndexer if training else RouteIndexer
             self.route_indexer = idx_cls(routes_file, scenario_file,
@@ -176,6 +184,7 @@ class CarlaDrivingEnv(BaseDrivingEnv):
         self.provider.set_world(self.world)
         self.traffic_manager.set_synchronous_mode(True)
         self.traffic_manager.set_random_device_seed(self._tm_seed)
+        self._watchdog.update()
         self.world.tick()
 
         cfg = self.route_indexer.next()
@@ -268,6 +277,7 @@ class CarlaDrivingEnv(BaseDrivingEnv):
             cfg.vehicle_num or 0, cfg.walker_num or 0, self.tm_port)
 
         self._setup_sensors()
+        self._watchdog.update()
         self.world.tick()
         self._on_world_tick()
 
@@ -325,6 +335,7 @@ class CarlaDrivingEnv(BaseDrivingEnv):
         collision = self.world.spawn_actor(cbp, carla.Transform(), self.ego)
         collision.listen(self._on_collision)
         self._sensors.append(collision)
+        self._watchdog.update()
         self.world.tick()
 
     def _on_collision(self, event) -> None:
@@ -399,7 +410,12 @@ class CarlaDrivingEnv(BaseDrivingEnv):
         spectator.set_transform(carla.Transform(
             tf.location + carla.Location(z=50),
             carla.Rotation(pitch=-90)))
+        self._watchdog.update()
         self.world.tick(self._timeout)
+        if self._watchdog.failed:
+            raise RuntimeError(
+                f"simulator hung: world.tick exceeded the "
+                f"{self._watchdog.timeout:.0f}s watchdog")
         self._on_world_tick()
 
         # refresh light states from the server actors (frozen = forced by a
@@ -526,6 +542,7 @@ class CarlaDrivingEnv(BaseDrivingEnv):
                         crit.current_index)
 
     def close(self) -> None:
+        self._watchdog.stop()
         self._destroy_sensors()
         self.provider.cleanup()
         settings = self.world.get_settings()

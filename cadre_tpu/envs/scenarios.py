@@ -147,8 +147,12 @@ class LeadingVehicleBehavior(OwnedActorBehavior):
 
 
 class CrossingBehavior(OwnedActorBehavior):
-    """Scenario3/4: object crosses the route ahead of the ego
-    (object_crash_vehicle.py DynamicObjectCrossing)."""
+    """Scenario3: object crosses the route ahead of the ego
+    (object_crash_vehicle.py DynamicObjectCrossing). The adversary is a
+    jaywalker (adversary_type False, :211-215) or a cyclist
+    (adversary_type True, :216-219 — a small vehicle blueprint); a static
+    vision-blocker prop is placed between the ego's sight line and the
+    crossing point (:228-248, 'static.prop.vendingmachine')."""
 
     def __init__(self, env, kind: str = "walker", ahead: float = 12.0,
                  lateral: float = 8.0, speed: float = 1.6):
@@ -157,8 +161,17 @@ class CrossingBehavior(OwnedActorBehavior):
         left = np.array([-fwd[1], fwd[0]])
         start = env._pos + fwd * ahead + left * lateral
         heading = math.atan2(-left[1], -left[0])
+        if kind == "cyclist":
+            # cyclist variant crosses faster (:216-218 target velocity)
+            speed = max(speed, 2.5)
         self._own(env.spawn_scenario_actor(kind, start, heading=heading,
                                            speed=speed))
+        # blocker prop hides the adversary until it steps onto the road;
+        # unmanaged and static, it persists for the episode like the
+        # reference's prop (removed only at scenario cleanup)
+        env.spawn_scenario_actor(
+            "static", env._pos + fwd * (ahead - 1.0) + left * (lateral - 2.0),
+            heading=heading, speed=0.0)
         self._travel = 2 * lateral
 
     def _tick_owned(self, env) -> bool:
@@ -348,8 +361,10 @@ class VehicleTurningBehavior(OwnedActorBehavior):
         fwd = np.array([math.cos(yaw), math.sin(yaw)])
         left = np.array([-fwd[1], fwd[0]])
         start = env._pos + fwd * ahead + left * lateral
+        # the turning crosser is a cyclist (object_crash_intersection.py:689
+        # 'vehicle.diamondback.century')
         ob = env.spawn_scenario_actor(
-            "vehicle", start, heading=math.atan2(-left[1], -left[0]),
+            "cyclist", start, heading=math.atan2(-left[1], -left[0]),
             speed=speed)
         self._own(ob)
         # two-leg arc: onto the ego lane ahead of the trigger, then across

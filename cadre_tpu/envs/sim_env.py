@@ -333,7 +333,8 @@ class SimDrivingEnv(BaseDrivingEnv):
         """Scenario-behavior actor factory (the _spawn indirection that lets
         the same behavior library drive both the kinematic sim and CARLA)."""
         if radius is None:
-            radius = 0.4 if kind == "walker" else 1.2
+            radius = {"walker": 0.4, "cyclist": 0.6,
+                      "static": 0.6}.get(kind, 1.2)
         ob = SimObstacle(pos=np.asarray(pos, float).copy(), radius=radius,
                          kind=kind, speed=speed, heading=heading)
         self._obstacles.append(ob)
@@ -419,7 +420,7 @@ class SimDrivingEnv(BaseDrivingEnv):
         # (SetInitSpeed, ChangeAutoPilot, a completed LaneChange); behavior-
         # managed actors advance inside their owner's tick instead
         for ob in self._obstacles:
-            if ob.kind in ("walker", "vehicle") and ob.speed > 0 \
+            if ob.kind in ("walker", "vehicle", "cyclist") and ob.speed > 0 \
                     and not ob.managed and ob.route_s < 0:
                 ob.pos = ob.pos + ob.speed * self.dt * np.array(
                     [math.cos(ob.heading), math.sin(ob.heading)])
@@ -428,8 +429,10 @@ class SimDrivingEnv(BaseDrivingEnv):
         self._collision = {"static": False, "vehicle": False, "walker": False}
         for ob in self._obstacles:
             if float(np.hypot(*(ob.pos - self._pos))) < ob.radius + 1.2:
+                # cyclists score as vehicle collisions (the reference's
+                # adversary is a vehicle.* blueprint either way)
                 key = "walker" if ob.kind == "walker" else (
-                    "vehicle" if ob.kind == "vehicle" else "static")
+                    "static" if ob.kind == "static" else "vehicle")
                 self._collision[key] = True
 
         # advance the light cycles on sim time
@@ -548,12 +551,16 @@ class SimDrivingEnv(BaseDrivingEnv):
             v = int(horizon + f * cam_h / xf)
             if 0 <= u < w and 0 <= v < h:
                 r = max(2, int(f * ob.radius / xf))
-                color = (200, 40, 40) if ob.kind != "walker" else (40, 40, 200)
+                if ob.kind == "walker":
+                    color, seg_cls = (40, 40, 200), 3
+                elif ob.kind == "static":   # blocker prop renders as scenery
+                    color, seg_cls = (130, 120, 110), 4
+                else:                       # vehicle or cyclist adversary
+                    color, seg_cls = (200, 40, 40), 2
                 img[max(0, v - 2 * r):min(h, v), max(0, u - r):min(w, u + r)] \
                     = color
                 seg[max(0, v - 2 * r):min(h, v),
-                    max(0, u - r):min(w, u + r)] = \
-                    2 if ob.kind != "walker" else 3
+                    max(0, u - r):min(w, u + r)] = seg_cls
         # traffic-light heads: colored box on a pole ~5 m above the stop
         # line, so the light state is discoverable through the camera
         light_colors = {RED: (255, 30, 30), YELLOW: (255, 220, 40),

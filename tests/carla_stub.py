@@ -313,6 +313,8 @@ class Blueprint:
 
 class BlueprintLibrary:
     _KNOWN = ["vehicle.lincoln.mkz2017", "vehicle.tesla.model3",
+              "vehicle.diamondback.century",
+              "static.prop.vendingmachine", "static.prop.container",
               "walker.pedestrian.0001", "sensor.camera.rgb",
               "sensor.other.imu", "sensor.other.gnss",
               "sensor.other.obstacle", "sensor.other.collision"]

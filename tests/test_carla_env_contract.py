@@ -301,3 +301,105 @@ def test_signal_junction_forces_server_light_world_frame(tmp_path, stub):
     # INT_CONF phase 1: the ego approach is forced red on the SERVER actor
     assert "Red" in str(light_actor.get_state())
     env.close()
+
+
+def test_watchdog_trips_on_hung_tick(tmp_path, stub):
+    """A world.tick slower than the client timeout raises instead of
+    hanging the worker forever (the reference's disabled Watchdog slot,
+    leaderboard/.../scenario_manager.py:67-71, enabled here)."""
+    import time
+
+    env, world = _make_env(tmp_path, stub)
+    env.reset()
+    env._watchdog.stop()
+    env._watchdog.timeout = 0.05
+    env._watchdog.start()
+    real_tick = world.tick
+
+    def hung_tick(timeout=None):
+        time.sleep(0.2)
+        return real_tick(timeout)
+
+    world.tick = hung_tick
+    with pytest.raises(RuntimeError, match="watchdog"):
+        env.step([0.0, 0.5, 0.0])
+    world.tick = real_tick
+    env.close()
+
+
+def test_watchdog_quiet_on_healthy_ticks(tmp_path, stub):
+    env, world = _make_env(tmp_path, stub)
+    env.reset()
+    for _ in range(5):
+        env.step([0.0, 0.5, 0.0])
+    assert not env._watchdog.failed
+    env.close()
+
+
+def _drive_until(env, world, pred, steps=300, throttle=0.2):
+    for _ in range(steps):
+        _, _, done, _ = env.step([0.0, throttle, 0.0])
+        got = pred(world)
+        if got or done:
+            return got
+    return pred(world)
+
+
+def test_scenario3_spawns_blocker_prop_with_adversary(tmp_path, stub):
+    """Scenario3 actor fidelity: the jaywalker comes WITH a static
+    vision-blocker prop (object_crash_vehicle.py:228-248
+    'static.prop.vendingmachine')."""
+    scen = _scenario_json(tmp_path, "Scenario3", 40.0, 0.0)
+    env, world = _make_env(tmp_path, stub, scenario_file=scen)
+    env.reset()
+
+    def spawned(w):
+        kinds = [a.type_id for a in w.get_actors()]
+        walkers = [k for k in kinds if k.startswith("walker")]
+        props = [k for k in kinds if k == "static.prop.vendingmachine"]
+        return (walkers, props) if walkers else None
+
+    got = _drive_until(env, world, spawned)
+    assert got is not None, "Scenario3 never triggered"
+    walkers, props = got
+    assert props, "vision-blocker prop missing"
+    env.close()
+
+
+def test_scenario4_crosser_is_a_cyclist(tmp_path, stub):
+    """Scenario4 actor fidelity: the junction crosser is the cyclist
+    blueprint (object_crash_intersection.py:689
+    'vehicle.diamondback.century')."""
+    scen = _scenario_json(tmp_path, "Scenario4", 40.0, 0.0)
+    env, world = _make_env(tmp_path, stub, scenario_file=scen)
+    env.reset()
+
+    def spawned(w):
+        bikes = [a for a in w.get_actors()
+                 if a.type_id == "vehicle.diamondback.century"]
+        return bikes or None
+
+    got = _drive_until(env, world, spawned)
+    assert got is not None, "Scenario4 cyclist never spawned"
+    env.close()
+
+
+def test_crossing_cyclist_variant_collision_is_vehicle(tmp_path, stub):
+    """The cyclist adversary variant scores as a vehicle collision
+    (its blueprint is a vehicle.* either way)."""
+    from cadre_tpu.envs.sim_env import SimDrivingEnv
+    from cadre_tpu.envs.scenarios import CrossingBehavior
+    from cadre_tpu.envs.events import TrafficEventType
+
+    env = SimDrivingEnv(seed=3, seq_length=2)
+    env.reset()
+    beh = CrossingBehavior(env, kind="cyclist", ahead=6.0, lateral=5.0)
+    assert beh._ob.kind == "cyclist"
+    types = []
+    for _ in range(200):
+        beh.tick(env)
+        tick, rewards, done, info = env.step([0.0, 0.8, 0.0])
+        types.extend(e.get_type() for e in tick["new_event_list"])
+        if done:
+            break
+    assert TrafficEventType.COLLISION_VEHICLE in types

@@ -53,7 +53,7 @@ def test_vehicle_turning_crosses_ego_lane():
     n0 = len(env._obstacles)
     beh = VehicleTurningBehavior(env)
     ob = env._obstacles[-1]
-    assert len(env._obstacles) == n0 + 1 and ob.kind == "vehicle"
+    assert len(env._obstacles) == n0 + 1 and ob.kind == "cyclist"
     yaw = math.radians(env._yaw)
     fwd = np.array([math.cos(yaw), math.sin(yaw)])
     left = np.array([-fwd[1], fwd[0]])
