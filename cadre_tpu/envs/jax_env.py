@@ -58,6 +58,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cadre_tpu.ops import paint
 from cadre_tpu.envs.route_fig import (
     LINE_WIDTH,
     PIXELS_PER_METER,
@@ -752,31 +753,13 @@ def _reward_step(cfg: JaxEnvConfig, state: JaxEnvState, scal, collision,
 
 
 # ---------------------------------------------------------------- rendering
-
-def _splat_chunked(base, cx, cy, r2, value, chunk: int = 8):
-    """OR a set of disks (centers [S], squared radii [S]) into `base`
-    [H, W]; scanned in chunks so the [H, W, chunk] mask stays small."""
-    h, w = base.shape
-    s = cx.shape[0]
-    pad = (-s) % chunk
-    cx = jnp.pad(cx, (0, pad), constant_values=-1e6)
-    cy = jnp.pad(cy, (0, pad), constant_values=-1e6)
-    r2 = jnp.pad(r2, (0, pad), constant_values=0.0)
-    xx = jnp.arange(w, dtype=jnp.float32)[None, :, None]
-    yy = jnp.arange(h, dtype=jnp.float32)[:, None, None]
-
-    def body(img, args):
-        cxc, cyc, r2c = args
-        m = ((xx - cxc[None, None]) ** 2
-             + (yy - cyc[None, None]) ** 2) <= r2c[None, None]
-        return jnp.where(jnp.any(m, axis=-1), value, img), None
-
-    n = cx.shape[0] // chunk
-    img, _ = jax.lax.scan(
-        body, base, (cx.reshape(n, chunk), cy.reshape(n, chunk),
-                     r2.reshape(n, chunk)))
-    return img
-
+#
+# Every primitive (route-fig ribbon disks, prop/obstacle/light rects, route
+# markers) becomes a row of a shape TABLE painted in order by ONE
+# cadre_tpu.ops.paint pass — VMEM-resident Pallas kernel on TPU, scan
+# fallback elsewhere, bit-identical either way. This replaces the former
+# per-primitive lax.scan passes (~100 HBM canvas round trips per frame,
+# the measured ~20% device-env render tax).
 
 def _render_fig(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
                 scal) -> jnp.ndarray:
@@ -797,24 +780,9 @@ def _render_fig(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
     cx = jnp.where(ok, centers[:, 0], -1e6)
     cy = jnp.where(ok, centers[:, 1], -1e6)
     r2 = jnp.full(cx.shape, (LINE_WIDTH / 2.0) ** 2, jnp.float32)
-    fig = jnp.zeros((_FH, _FW), jnp.float32)
-    return _splat_chunked(fig, cx, cy, r2, 255.0)
-
-
-def _rect_scan(img, u0, u1, v0, v1, colors, valid):
-    """Paint axis-aligned rects [S] (u0<=x<u1, v0<=y<v1) with per-rect
-    colors [S, 3] into img [H, W, 3], sequential order preserved."""
-    h, w = img.shape[:2]
-    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
-    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
-
-    def body(im, args):
-        a0, a1, b0, b1, col, ok = args
-        m = (xx >= a0) & (xx < a1) & (yy >= b0) & (yy < b1) & ok
-        return jnp.where(m[..., None], col[None, None], im), None
-
-    img, _ = jax.lax.scan(body, img, (u0, u1, v0, v1, colors, valid))
-    return img
+    rows = paint.disk_rows(cx, cy, r2, jnp.asarray([255.0] * 3), ok)
+    fig = jnp.zeros((_FH, _FW, 1), jnp.float32)
+    return paint.paint_shapes(fig, rows)[..., 0]
 
 
 def _render_rgb(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
@@ -839,6 +807,8 @@ def _render_rgb(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
         xf = rel[:, 0] * cos_y + rel[:, 1] * sin_y
         yl = -rel[:, 0] * sin_y + rel[:, 1] * cos_y
         return xf, yl
+
+    table = []
 
     # roadside props (sim_env.roadside_props twin): interleaved
     # (body, sign-head) rects per prop in bank order, matching the host
@@ -873,11 +843,10 @@ def _render_rgb(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
             return jnp.stack([a, b], axis=1).reshape(
                 (2 * props.shape[0],) + a.shape[1:])
 
-        img = _rect_scan(
-            img,
+        table.append(paint.rect_rows(
             ileave(u - r, u - rs), ileave(u + r, u + rs),
             ileave(vt, vt - rs), ileave(vg, vt + rs),
-            ileave(col, sign_col), ileave(okp, okp & is_pole))
+            ileave(col, sign_col), ileave(okp, okp & is_pole)))
 
     # route markers: every 2nd waypoint of a 64-entry window ahead
     wnd, valid, _ = _route_window(cfg, bank, state, cfg.rgb_window)
@@ -890,13 +859,9 @@ def _render_rgb(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
     vs = horizon + _FOCAL * _CAM_H / xf_s
     rs = jnp.maximum(1.0, jnp.floor(24.0 / xf_s))
     on = vis & (us >= 0) & (us < w) & (vs >= 0) & (vs < h)
-    cx = jnp.where(on, us, -1e6)
-    cy = jnp.where(on, vs, -1e6)
     # square stamps ~ disks of the same half-size on this canvas
-    road_mask = _splat_chunked(jnp.zeros((h, w), jnp.float32), cx, cy,
-                               rs * rs, 1.0)
-    img = jnp.where(road_mask[..., None] > 0,
-                    jnp.asarray([200.0, 200.0, 200.0])[None, None], img)
+    table.append(paint.disk_rows(us, vs, rs * rs,
+                                 jnp.asarray([200.0, 200.0, 200.0]), on))
 
     # obstacle blobs: color by kind, rect [v-2r, v) x [u-r, u+r)
     ob = state.obstacles
@@ -911,7 +876,7 @@ def _render_rgb(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
     col = jnp.where(is_walker[:, None],
                     jnp.asarray([40.0, 40.0, 200.0])[None],
                     jnp.asarray([200.0, 40.0, 40.0])[None])
-    img = _rect_scan(img, u - r, u + r, v - 2 * r, v, col, okd)
+    table.append(paint.rect_rows(u - r, u + r, v - 2 * r, v, col, okd))
 
     # traffic lights: head box + pole, forced short cycle
     lights = bank.lights[state.route_id]                   # [L, 5]
@@ -929,8 +894,10 @@ def _render_rgb(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
     pole = jnp.broadcast_to(jnp.asarray([60.0, 60.0, 60.0]),
                             lcol.shape)
     # pole first, then the head box on top of it
-    img = _rect_scan(img, u - 1.0, u + 1.0, v + r, vg, pole, okl)
-    img = _rect_scan(img, u - r, u + r, v - r, v + r, lcol, okl)
+    table.append(paint.rect_rows(u - 1.0, u + 1.0, v + r, vg, pole, okl))
+    table.append(paint.rect_rows(u - r, u + r, v - r, v + r, lcol, okl))
+
+    img = paint.paint_shapes(img, jnp.concatenate(table, axis=0))
 
     # weather: ground brightness + sensor noise
     ground = yy >= horizon
