@@ -26,6 +26,7 @@ negative squared radius), so there is no separate validity plane.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -85,8 +86,9 @@ def _paint_xla(base: jnp.ndarray, shapes: jnp.ndarray) -> jnp.ndarray:
 
 def _paint_kernel(shapes_ref, base_ref, out_ref):
     c, h, w = out_ref.shape
-    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    # mosaic iota is integer-only; cast to the f32 coordinate grid
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
     img = base_ref[...]
 
     def body(s, img):
@@ -95,7 +97,10 @@ def _paint_kernel(shapes_ref, base_ref, out_ref):
         p, q = shapes_ref[s, 3], shapes_ref[s, 4]
         rect = (xx >= a) & (xx < b) & (yy >= p) & (yy < q)
         disk = (xx - a) ** 2 + (yy - b) ** 2 <= p
-        m = jnp.where(kind < 0.5, rect, disk)
+        # and/or combine instead of select: mosaic cannot select between
+        # i1 vectors
+        is_rect = kind < 0.5
+        m = (rect & is_rect) | (disk & ~is_rect)
         return jnp.stack(
             [jnp.where(m, shapes_ref[s, 5 + j], img[j]) for j in range(c)])
 
@@ -128,7 +133,11 @@ def paint_shapes(base: jnp.ndarray, shapes: jnp.ndarray,
     fallback elsewhere; both produce bit-identical images.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        forced = os.environ.get("CADRE_PAINT", "")
+        if forced:
+            use_pallas = forced == "pallas"
+        else:
+            use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         return _paint_pallas(base, shapes)
     return _paint_xla(base, shapes)

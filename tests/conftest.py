@@ -53,12 +53,30 @@ SLOW_TESTS = {
     "test_perception.py::test_camera_route_trainer_blanks_input_only",
     "test_cil_and_distributed_perception.py::test_distributed_geom_camroute_step",
     "test_agent.py::test_camera_route_agent_invariant_to_route_fig",
+    # round-3 re-tiering from the measured cold --durations table (each
+    # >12 s cold on 1 core); `pytest -m "not slow"` is the fast core,
+    # the FULL suite runs these before shipping
+    "test_parallel.py::test_single_vs_distributed_aux_finite",
+    "test_vec_train.py::test_fused_tick_matches_incremental_plus_store",
+    "test_vec_train.py::test_incremental_features_match_full_recompute",
+    "test_perception.py::test_per_class_evaluation",
+    "test_model_zoo.py::test_unet_variants",
+    "test_rl_math.py::test_ppo_loss_and_update",
+    "test_rl_math.py::test_bank_act_and_masked_eval_consistency",
+    "test_train_loop.py::test_evaluate_ensemble_fake_env",
+    "test_runtime.py::test_proc_vec_env_respawns_dead_worker",
+    "test_pallas_kernels.py::test_fused_dual_attention_matches_xla",
+    "test_device_infractions.py::test_red_light_device_matches_host",
+    "test_carla_env_contract.py::test_green_light_no_infraction",
+    "test_carla_env_contract.py::test_red_light_infraction_end_to_end",
+    "test_jax_env.py::test_route_timeout_code",
 }
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
         short = "::".join(item.nodeid.split("/")[-1].split("::")[:2])
+        short = short.split("[")[0]          # strip parametrize ids
         if short in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
 

@@ -97,8 +97,9 @@ def test_scenario_trigger_spawns_crossing():
     env._scenario_manager = mgr
     env.step([0.0, 0.3, 0.0])
     assert trig.fired
-    assert len(env._obstacles) == n0 + 1
-    walker = env._obstacles[-1]
+    # adversary + the Scenario3 vision-blocker prop
+    assert len(env._obstacles) == n0 + 2
+    walker = next(o for o in env._obstacles if o.kind == "walker")
     p0 = walker.pos.copy()
     env.step([0.0, 0.3, 0.0])
     assert not np.allclose(walker.pos, p0)  # crossing is moving
