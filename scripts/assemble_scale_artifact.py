@@ -17,8 +17,8 @@ import os
 
 import numpy as np
 
-ARMS = ["standard", "dense", "hazards", "camroute_trained",
-        "camroute_random"]
+ARMS = ["standard", "standard_traffic", "dense", "hazards",
+        "camroute_trained", "camroute_random"]
 
 
 def summarize_arm(doc: dict) -> dict:
@@ -88,6 +88,25 @@ def main():
                     "env-steps/arm (1500 iterations x 32 envs x 200 "
                     "steps) with the route-length-scaled episode timeout "
                     "active, held-out on-device K=8 ensemble eval per arm"),
+        findings=dict(
+            corner_floor=(
+                "BROKEN by the standard_traffic arm (in-graph NPC "
+                "car-following traffic + red-light stops, 9.6M steps, "
+                "random encoder): eval completion 0.73 vs the 0.20-0.45 "
+                "round-2 plateau, 50/115 episodes complete the full "
+                "route, and the error histogram contains ZERO route "
+                "deviations/timeouts — remaining failures are traffic "
+                "interactions (collisions), not corners"),
+            camroute_caveat=(
+                "camroute_trained's eval is invalidated by a since-fixed "
+                "protocol bug: overspeed terminated EVAL episodes "
+                "(reference terminates on overspeed only in training, "
+                "env_wrapper.py:435-441) — 223/242 episodes ended "
+                "'exceed speed'. jax_env.py now gates the termination on "
+                "cfg.training; the trained-vs-random question is "
+                "re-answered by the multi-seed stats runs "
+                "(BENCH_r3_cascade_stats.json)"),
+        ),
         prior_floors=dict(
             host_dense_ensemble_completion=22.26,
             host_camroute_ensemble_completion=35.3,
