@@ -1,0 +1,108 @@
+"""Assemble BENCH_r3_cascade_stats.json from the multi-seed cascade runs.
+
+Reads /tmp/device_scale/stats/{trained,random}_s{seed}.json (written by
+scripts/run_cascade_stats.sh -> run_device_scale.py) and reports, per arm,
+mean +/- 95% CI over seeds for the held-out ensemble eval metrics, plus the
+trained-minus-random gap with its CI (Welch, normal approximation over
+seed means). Pre-registered primary metric: ensemble mean driving score
+(it won in both round-2 single-seed artifacts); the README cascade claim
+stands only if the gap CI excludes zero.
+
+Usage: python scripts/assemble_cascade_stats.py [--statsdir ...] [--out ...]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import math
+import os
+
+import numpy as np
+
+METRICS = ["mean_completion", "mean_driving_score"]
+
+
+def _ci(vals):
+    v = np.asarray(vals, float)
+    n = len(v)
+    mean = float(np.mean(v))
+    if n < 2:
+        return dict(n=n, mean=round(mean, 4), ci95=None, values=list(v))
+    sem = float(np.std(v, ddof=1)) / math.sqrt(n)
+    return dict(n=n, mean=round(mean, 4), ci95=round(1.96 * sem, 4),
+                values=[round(float(x), 4) for x in v])
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--statsdir", default="/tmp/device_scale/stats")
+    p.add_argument("--out", default="BENCH_r3_cascade_stats.json")
+    args = p.parse_args()
+
+    arms = {}
+    for arm in ("trained", "random"):
+        rows = []
+        for path in sorted(glob.glob(
+                os.path.join(args.statsdir, f"{arm}_s*.json"))):
+            with open(path) as f:
+                doc = json.load(f)
+            seed = doc["config"].get("seed")
+            ev = doc["eval"]
+            rows.append(dict(seed=seed,
+                             episodes=ev.get("episodes"),
+                             error_histogram=ev.get("error_histogram"),
+                             **{m: ev.get(m) for m in METRICS}))
+        if rows:
+            arms[arm] = dict(
+                seeds=rows,
+                **{m: _ci([r[m] for r in rows if r[m] is not None])
+                   for m in METRICS})
+
+    gaps = {}
+    if "trained" in arms and "random" in arms:
+        for m in METRICS:
+            t = arms["trained"][m]
+            r = arms["random"][m]
+            if t["n"] >= 2 and r["n"] >= 2:
+                # Welch normal-approx CI on the difference of seed means
+                st = (np.std(t["values"], ddof=1) ** 2) / t["n"]
+                sr = (np.std(r["values"], ddof=1) ** 2) / r["n"]
+                half = 1.96 * math.sqrt(st + sr)
+                gap = t["mean"] - r["mean"]
+                gaps[m] = dict(gap=round(gap, 4), ci95=round(half, 4),
+                               excludes_zero=bool(abs(gap) > half),
+                               direction="trained" if gap > 0 else "random")
+
+    artifact = dict(
+        experiment=("multi-seed trained-vs-random frozen-encoder study on "
+                    "the device-resident path, standard moving-traffic "
+                    "protocol (the corner-floor-breaking configuration), "
+                    "250 iterations x 32 envs x 200 steps = 1.6M "
+                    "env-steps/seed, 6-member snapshot ensembles, held-out "
+                    "on-device eval per seed (eval.py protocol)"),
+        primary_metric=("mean_driving_score — pre-registered before the "
+                        "runs (VERDICT.md round-2 item 2); completion is "
+                        "secondary"),
+        encoder=("trained arm: DANet pretrained 25 epochs on the balanced "
+                 "expert dataset (/tmp/pdata2 protocol: phase-balanced "
+                 "lights, slow traffic mix, roadside props); random arm: "
+                 "same architecture, init-only"),
+        arms=arms,
+        gaps=gaps,
+    )
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print("WROTE", args.out)
+    for arm, a in arms.items():
+        for m in METRICS:
+            if m in a:
+                print(f"  {arm} {m}: {a[m]['mean']} +/- "
+                      f"{a[m]['ci95']} (n={a[m]['n']})")
+    for m, g in gaps.items():
+        print(f"  gap {m}: {g['gap']} +/- {g['ci95']} "
+              f"(excludes zero: {g['excludes_zero']})")
+
+
+if __name__ == "__main__":
+    main()
