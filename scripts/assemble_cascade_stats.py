@@ -78,7 +78,7 @@ def main():
         experiment=("multi-seed trained-vs-random frozen-encoder study on "
                     "the device-resident path, standard moving-traffic "
                     "protocol (the corner-floor-breaking configuration), "
-                    "250 iterations x 32 envs x 200 steps = 1.6M "
+                    "120 iterations x 32 envs x 200 steps = 768k "
                     "env-steps/seed, 6-member snapshot ensembles, held-out "
                     "on-device eval per seed (eval.py protocol)"),
         primary_metric=("mean_driving_score — pre-registered before the "

@@ -175,6 +175,10 @@ def main():
                    help="encoder was trained with in_route_blank (camera-"
                         "route experiment); blank the route plane when "
                         "encoding so the probe matches the training input")
+    p.add_argument("--production", action="store_true",
+                   help="probe a production-size encoder checkpoint "
+                        "(danet_params defaults) instead of the small "
+                        "cascade-proof config")
     p.add_argument("--cache", default="/tmp/latent_probe_cache.npz",
                    help="npz of latents+targets, reused when present")
     p.add_argument("--route-legs", type=int, default=3,
@@ -190,9 +194,10 @@ def main():
     from cadre_tpu.models.danet import create_danet
     from cadre_tpu.utils.checkpoint import load_danet_checkpoint
 
-    cfg = danet_params(da_feature_channel=64, inter_att_dims=48, z_dims=32,
-                       pred_route_geom=args.route_geom,
-                       in_route_blank=args.camera_route)
+    size = {} if args.production else dict(
+        da_feature_channel=64, inter_att_dims=48, z_dims=32)
+    cfg = danet_params(pred_route_geom=args.route_geom,
+                       in_route_blank=args.camera_route, **size)
     # the cache holds FRAMES + targets only; latents are always encoded
     # fresh (a cached latent is tied to one specific encoder checkpoint —
     # reusing it for a different --encoder silently probes the wrong model)

@@ -2,8 +2,8 @@
 # VERDICT round-2 item #2: make the cascade claim survive statistics.
 # 5 seeds x {trained, random} encoder arms on the device-resident path
 # under the standard moving-traffic protocol (the round-3 configuration
-# that broke the corner floor), 250 iterations x 32 envs x 200 steps
-# = 1.6M env-steps per seed, 6-member snapshot ensembles, held-out
+# that broke the corner floor), 120 iterations x 32 envs x 200 steps
+# = 768k env-steps per seed, 6-member snapshot ensembles, held-out
 # on-device eval per run (eval.py protocol, eval_agent_config.py:51-57).
 # Pre-registered primary metric: ensemble mean driving score.
 # Results append to /tmp/device_scale/stats/ as they land.
@@ -28,7 +28,7 @@ ENC="$W/enc_std_bal/net_epoch24.msgpack"
       OUT="$S/${arm}_s${seed}.json"
       [ -f "$OUT" ] && continue
       timeout 3000 python scripts/run_device_scale.py \
-          --iterations 250 --snap-every 40 --seed $seed $EXTRA \
+          --iterations 120 --snap-every 20 --seed $seed $EXTRA \
           --workdir "$S/${arm}_s${seed}" --out "$OUT" \
           || echo "RUN_${arm}_s${seed}_FAILED"
       echo "RUN_${arm}_s${seed}_DONE"
