@@ -17,8 +17,8 @@ import os
 
 import numpy as np
 
-ARMS = ["standard", "standard_traffic", "dense", "hazards",
-        "camroute_trained", "camroute_random"]
+ARMS = ["standard", "standard_traffic", "standard_traffic_ext", "dense",
+        "hazards", "camroute_trained", "camroute_random"]
 
 
 def summarize_arm(doc: dict) -> dict:

@@ -86,6 +86,36 @@ def run(args) -> dict:
     steps_per_iter = args.steps * args.num_envs
     rows, snaps = [], []
     train_wall = None
+    snap_offset = 0
+    if args.resume and not args.eval_only:
+        # Warm start: continue training from the newest snapshot in the
+        # workdir (policy banks only — the optimizer state restarts, which
+        # matches the reference's non-checkpointed Adam, SURVEY §5.4).
+        # New snapshots number on from the last index so the ensemble eval
+        # picks up the newest members.
+        import glob
+        import re
+
+        existing = sorted(glob.glob(os.path.join(args.workdir,
+                                                 "snap_*.msgpack")))
+        if existing:
+            agent.load_snapshot(existing[-1])
+            params = agent.params
+            snap_offset = int(
+                re.search(r"snap_(\d+)", existing[-1]).group(1))
+            if os.path.exists(existing[-1] + ".opt"):
+                # exact Adam resume when the prior run saved its
+                # optimizer state (see the include_opt save below)
+                import jax.numpy as jnp
+
+                from cadre_tpu.utils import checkpoint as ckpt
+
+                opt_state = jax.tree.map(
+                    jnp.asarray,
+                    ckpt.load_pytree(existing[-1] + ".opt", opt_state))
+                print("resume: optimizer state restored", flush=True)
+            print(f"resume: warm-started from {existing[-1]} "
+                  f"(snap offset {snap_offset})", flush=True)
     if args.eval_only:
         # Recovery path: training already ran (snapshots on disk) but the
         # process died before/at eval. Reuse the snapshots; reconstruct the
@@ -109,6 +139,15 @@ def run(args) -> dict:
                         episodes_done=float(m.group(3)),
                         mean_completion=round(float(m.group(4)) / 100, 4))
             rows = [seen[i] for i in sorted(seen)]
+        if args.prev and os.path.exists(args.prev):
+            # Reuse the prior artifact's training section verbatim — for
+            # re-running ONLY the eval under current code (e.g. the eval
+            # env once terminated on overspeed, a training-only rule:
+            # env_wrapper.py:435-441).
+            with open(args.prev) as f:
+                prev_doc = json.load(f)
+            rows = prev_doc["train"]["rows"]
+            train_wall = prev_doc["train"]["wall_s"]
         print(f"eval-only: {len(snaps)} snapshots, {len(rows)} curve rows",
               flush=True)
     t_start = time.time()
@@ -139,11 +178,18 @@ def run(args) -> dict:
                   flush=True)
         if (i + 1) % args.snap_every == 0:
             agent.params = params
-            path = os.path.join(args.workdir, f"snap_{i + 1:05d}.msgpack")
+            path = os.path.join(
+                args.workdir, f"snap_{snap_offset + i + 1:05d}.msgpack")
             agent.save_snapshot(path)
             snaps.append(path)
     if not args.eval_only:
         train_wall = time.time() - t_start
+        if snaps:
+            # persist the final Adam state next to the last snapshot so a
+            # later --resume is an exact optimizer resume
+            from cadre_tpu.utils import checkpoint as ckpt
+
+            ckpt.save_pytree(snaps[-1] + ".opt", opt_state)
 
     # ---- held-out on-device ensemble eval (the eval.py protocol) ----
     agent.params = params
@@ -176,7 +222,8 @@ def run(args) -> dict:
                     route_legs=args.route_legs, leg_len=leg_len,
                     hazards=args.hazards, camroute=bool(args.camroute),
                     encoder=args.encoder, seed=args.seed,
-                    total_env_steps=args.iterations * steps_per_iter),
+                    total_env_steps=args.iterations * steps_per_iter,
+                    resumed_from_iteration=snap_offset or None),
         train=dict(wall_s=round(train_wall, 1) if train_wall else None,
                    median_env_steps_per_sec=round(float(np.median(
                        [r["env_steps_per_sec"] for r in rows[1:]])), 1)
@@ -229,6 +276,13 @@ def main():
     p.add_argument("--log-every", type=int, default=25)
     p.add_argument("--eval-only", action="store_true",
                    help="skip training; eval existing workdir snapshots")
+    p.add_argument("--resume", action="store_true",
+                   help="warm-start training from the newest workdir "
+                        "snapshot; new snapshots number on from it")
+    p.add_argument("--prev", default=None,
+                   help="with --eval-only: prior arm artifact whose train "
+                        "section is kept verbatim (re-eval under current "
+                        "code)")
     p.add_argument("--train-log", default=None,
                    help="with --eval-only: driver log to reconstruct the "
                         "training curve from (iter N: ... lines)")
