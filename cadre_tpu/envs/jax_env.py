@@ -155,6 +155,15 @@ class JaxEnvConfig:
     n_hazards: int = 0
     hazard_trigger: float = 12.0   # spring distance (m)
     hazard_offset: float = 5.0     # lateral spawn offset from the route (m)
+    # in-graph priority route curriculum (PriorityRouteIndexer,
+    # leaderboard/utils/priority_route_indexer.py:42-61): each env keeps a
+    # per-route priority table (init 100; on episode end priority[route] =
+    # 100 - completion%), and reset samples eps=0.2 uniform else
+    # softmax(priority) — jax.random.categorical(logits=priority) IS that
+    # softmax draw. Per-ENV tables mirror the reference's per-WORKER
+    # indexers. Off by default (uniform sampling, the protocol every
+    # landed artifact used).
+    priority_routes: bool = False
 
 
 class RouteBank(NamedTuple):
@@ -197,6 +206,8 @@ class JaxEnvState(NamedTuple):
     stop_state: jnp.ndarray        # [3] f32: target sign idx (-1 none),
     #                                stop_completed, affected
     infractions: jnp.ndarray       # [2] i32 episode counts (red, stop)
+    route_prio: jnp.ndarray        # [K] f32 per-route curriculum priority
+    #                                (100 - completion%; priority indexer)
     rng: jnp.ndarray               # per-env PRNG key
 
 
@@ -909,11 +920,22 @@ def _render_rgb(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
 
 # ---------------------------------------------------------------- lifecycle
 
-def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key) -> JaxEnvState:
+def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key,
+               prio: Optional[jnp.ndarray] = None) -> JaxEnvState:
     """Fresh episode (SimDrivingEnv._world_reset over the device bank)."""
     k_route, k_obs, k_weather, k_state = jax.random.split(key, 4)
     n_routes = bank.routes.shape[0]
-    route_id = jax.random.randint(k_route, (), 0, n_routes)
+    if prio is None:
+        prio = jnp.full((n_routes,), 100.0, jnp.float32)
+    if cfg.priority_routes:
+        # PriorityRouteIndexer.next (priority_route_indexer.py:51-61):
+        # 20% uniform, else softmax over priority = 100 - completion%
+        k_eps, k_soft, k_uni = jax.random.split(k_route, 3)
+        soft = jax.random.categorical(k_soft, prio)
+        uni = jax.random.randint(k_uni, (), 0, n_routes)
+        route_id = jnp.where(jax.random.uniform(k_eps) > 0.8, uni, soft)
+    else:
+        route_id = jax.random.randint(k_route, (), 0, n_routes)
     route = bank.routes[route_id]
     rlen = bank.route_len[route_id]
     start = route[0]
@@ -991,7 +1013,8 @@ def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key) -> JaxEnvState:
         turn=jnp.zeros(8, jnp.float32),
         last_red=jnp.asarray(-1, jnp.int32),
         stop_state=jnp.asarray([-1.0, 0.0, 0.0], jnp.float32),
-        infractions=jnp.zeros(2, jnp.int32), rng=k_state)
+        infractions=jnp.zeros(2, jnp.int32),
+        route_prio=prio.astype(jnp.float32), rng=k_state)
 
 
 def _observe(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState, scal,
@@ -1042,7 +1065,15 @@ def _step_one(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
     stepped, rewards, done, action_done, err = _reward_step(
         cfg, stepped, scal, collision, obstacle, route_completed, route_m)
 
-    fresh = _plan_pop(cfg, bank, _reset_one(cfg, bank, k_reset))
+    # curriculum bookkeeping (PriorityRouteIndexer.update_route,
+    # priority_route_indexer.py:42-49): at episode end the finished
+    # route's priority becomes 100 - completion%. The fresh episode
+    # samples from (and carries) the updated table.
+    prio = stepped.route_prio.at[stepped.route_id].set(jnp.where(
+        done, 100.0 * (1.0 - completion),
+        stepped.route_prio[stepped.route_id]))
+    stepped = stepped._replace(route_prio=prio)
+    fresh = _plan_pop(cfg, bank, _reset_one(cfg, bank, k_reset, prio))
     nxt = jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, stepped)
     scal_n = _scalars(cfg, bank, nxt)
     rgb, fig, meas = _observe(cfg, bank, nxt, scal_n, k_noise)

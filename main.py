@@ -35,6 +35,10 @@ def parse_args():
                    help=".pt (torch) or .msgpack perception checkpoint")
     p.add_argument("--vehicles", type=int, default=0)
     p.add_argument("--walkers", type=int, default=0)
+    p.add_argument("--priority-routes", action="store_true",
+                   help="device env: in-graph priority route curriculum "
+                        "(PriorityRouteIndexer semantics; "
+                        "JaxEnvConfig.priority_routes)")
     p.add_argument("--hazards", type=int, default=0,
                    help="--env jax only: in-graph Scenario-3 crossing "
                         "pedestrians per episode (JaxEnvConfig.n_hazards)")
@@ -163,7 +167,9 @@ def main():
         bank = make_route_bank(max(args.num_envs * 2, 16), seed=args.seed,
                                routes_file=args.routes)
         env = JaxDrivingEnv(bank, num_envs=max(args.num_envs, 1),
-                            config=JaxEnvConfig(n_hazards=args.hazards))
+                            config=JaxEnvConfig(
+                                n_hazards=args.hazards,
+                                priority_routes=args.priority_routes))
         iterations = args.iterations if args.iterations is not None else \
             args.episodes
         _, rows = train_device(agent, env, iterations=iterations,

@@ -68,7 +68,8 @@ def run(args) -> dict:
     # camroute implies the blind-route obs too (the host protocol masks the
     # privileged dis/theta measurements as well as the raster input plane)
     env_cfg = JaxEnvConfig(n_hazards=args.hazards,
-                           blind_route=bool(args.camroute))
+                           blind_route=bool(args.camroute),
+                           priority_routes=bool(args.priority_routes))
     bank = make_route_bank(args.routes, seed=args.seed,
                            route_legs=args.route_legs, route_leg_len=leg_len)
     env = JaxDrivingEnv(bank, num_envs=args.num_envs, config=env_cfg)
@@ -200,8 +201,9 @@ def run(args) -> dict:
     # termination on static collision/overspeed — the host eval protocol
     # (scripts/cascade_proof.py eval arm / eval_agent_config.py:51-57)
     eval_env = JaxDrivingEnv(eval_bank, num_envs=args.eval_envs,
-                             config=dataclasses.replace(env_cfg,
-                                                        training=False))
+                             config=dataclasses.replace(
+                                 env_cfg, training=False,
+                                 priority_routes=False))
     members = snaps[-args.eval_members:] if snaps else []
     episodes = []
     if members:
@@ -263,6 +265,10 @@ def main():
     p.add_argument("--leg-max", type=float, default=90.0)
     p.add_argument("--hazards", type=int, default=0,
                    help="Scenario-3 crossing pedestrians per episode")
+    p.add_argument("--priority-routes", action="store_true",
+                   help="in-graph priority route curriculum "
+                        "(PriorityRouteIndexer semantics) for training; "
+                        "the held-out eval stays uniform")
     p.add_argument("--encoder", default=None,
                    help="optional msgpack DANet checkpoint (frozen)")
     p.add_argument("--camroute", action="store_true",
