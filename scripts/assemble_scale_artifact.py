@@ -97,15 +97,28 @@ def main():
                 "route, and the error histogram contains ZERO route "
                 "deviations/timeouts — remaining failures are traffic "
                 "interactions (collisions), not corners"),
-            camroute_caveat=(
-                "camroute_trained's eval is invalidated by a since-fixed "
-                "protocol bug: overspeed terminated EVAL episodes "
-                "(reference terminates on overspeed only in training, "
-                "env_wrapper.py:435-441) — 223/242 episodes ended "
-                "'exceed speed'. jax_env.py now gates the termination on "
-                "cfg.training; the trained-vs-random question is "
-                "re-answered by the multi-seed stats runs "
-                "(BENCH_r3_cascade_stats.json)"),
+            collision_rate_vs_budget=(
+                "standard_traffic_ext warm-starts the winner arm "
+                "(snap_01500 + saved policy banks) for 1500 MORE "
+                "iterations: at 19.2M cumulative env-steps the held-out "
+                "ensemble eval reaches 0.855 completion / 72.5 driving "
+                "score (9.6M: 0.731 / 55.9) with successes 55/81 and the "
+                "collision rate roughly HALVED (65/115 episodes -> 26/81) "
+                "— still zero route deviations/timeouts. Collision "
+                "avoidance is budget-bound, not capability-bound"),
+            camroute_reeval=(
+                "both camroute arms' evals were re-run under current "
+                "code: the originals terminated EVAL episodes on "
+                "overspeed, a training-only rule (env_wrapper.py:435-441, "
+                "223/242 camroute_trained episodes ended 'exceed speed'), "
+                "and predate the in-graph NPC traffic default. Under the "
+                "shared corrected protocol (training sections kept "
+                "verbatim; NOTE eval now has moving traffic the arms "
+                "never trained against): trained 0.552 completion / 38.4 "
+                "score vs random 0.152 / 15.0 — the camera-route cascade "
+                "gap at 9.6M steps is +0.40 completion / +23.4 driving "
+                "score, single seed per arm (the multi-seed grid is "
+                "BENCH_r3_cascade_stats.json)"),
         ),
         prior_floors=dict(
             host_dense_ensemble_completion=22.26,
