@@ -41,12 +41,22 @@ def main():
     args = p.parse_args()
 
     arms = {}
+    budget = None
     for arm in ("trained", "random"):
         rows = []
         for path in sorted(glob.glob(
                 os.path.join(args.statsdir, f"{arm}_s*.json"))):
             with open(path) as f:
                 doc = json.load(f)
+            cfg = doc["config"]
+            total_iters = (cfg.get("resumed_from_iteration") or 0) + \
+                cfg["iterations"]
+            budget = dict(
+                iterations=total_iters,
+                num_envs=cfg["num_envs"],
+                steps_per_iter=cfg["steps_per_iter"],
+                env_steps_per_seed=(total_iters * cfg["num_envs"]
+                                    * cfg["steps_per_iter"]))
             seed = doc["config"].get("seed")
             ev = doc["eval"]
             rows.append(dict(seed=seed,
@@ -74,13 +84,18 @@ def main():
                                excludes_zero=bool(abs(gap) > half),
                                direction="trained" if gap > 0 else "random")
 
+    b = budget or {}
     artifact = dict(
         experiment=("multi-seed trained-vs-random frozen-encoder study on "
                     "the device-resident path, standard moving-traffic "
                     "protocol (the corner-floor-breaking configuration), "
-                    "120 iterations x 32 envs x 200 steps = 768k "
+                    f"{b.get('iterations', '?')} iterations x "
+                    f"{b.get('num_envs', '?')} envs x "
+                    f"{b.get('steps_per_iter', '?')} steps = "
+                    f"{b.get('env_steps_per_seed', 0) / 1e6:.2f}M "
                     "env-steps/seed, 6-member snapshot ensembles, held-out "
                     "on-device eval per seed (eval.py protocol)"),
+        budget=budget,
         primary_metric=("mean_driving_score — pre-registered before the "
                         "runs (VERDICT.md round-2 item 2); completion is "
                         "secondary"),
