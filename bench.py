@@ -127,7 +127,40 @@ def bench_device_train(num_envs: int = 32, steps: int = 200,
         signal.signal(signal.SIGALRM, old)
 
 
+def _hold_scale_lock():
+    """Block until the long-experiment flock is free, then hold it for the
+    whole bench (released at exit). The round-3 driver capture raced a
+    detached training job on the same chip+host and recorded a 3x-degraded
+    headline (BENCH_r03.json: 11.4k f/s AND a 3x-slow torch-CPU baseline,
+    7.5 vs 24 fps — both arms of the contention; BENCH_NOTES.md). Every
+    long-running scale script takes this same lock, so holding it here
+    makes bench captures and training jobs mutually exclusive."""
+    import fcntl
+    import os
+
+    lockdir = "/tmp/device_scale"
+    try:
+        os.makedirs(lockdir, exist_ok=True)
+        fd = os.open(os.path.join(lockdir, ".lock"),
+                     os.O_WRONLY | os.O_CREAT, 0o644)
+        # Wait up to an hour for a running job to finish; past that,
+        # proceed but FLAG the row as contended so a degraded number is
+        # never mistaken for a regression again.
+        deadline = time.monotonic() + 3600
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                return fd, False  # lock held; released on process exit
+            except OSError:
+                if time.monotonic() > deadline:
+                    return fd, True
+                time.sleep(10)
+    except OSError:
+        return None, False
+
+
 def main():
+    _, contended = _hold_scale_lock()
     jax_fps, pallas_fps, backend = bench_jax()
     torch_fps = bench_torch_cpu()
     device_sps = bench_device_train()
@@ -143,6 +176,8 @@ def main():
         "batch": 256,
         "dtype": "bfloat16",
     }
+    if contended:
+        row["lock_timeout_contended"] = True
     if device_sps is not None:
         row["device_train_env_steps_per_sec"] = round(device_sps, 1)
     print(json.dumps(row))

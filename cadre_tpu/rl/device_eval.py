@@ -9,6 +9,7 @@ with one host fetch per eval, not one per member per tick.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Optional, Sequence
 
 import jax
@@ -31,6 +32,16 @@ def evaluate_device(agent: CadreAgent, env: JaxDrivingEnv,
                     ) -> List[dict]:
     """Run `max_steps` batched ensemble steps; returns one dict per finished
     episode: {completion, error, steps}."""
+    if env.cfg.training:
+        # Structural eval-hygiene lock: the eval protocol is ALWAYS
+        # eval-mode (no overspeed/static-collision early termination,
+        # d_max_eval widening — env_wrapper.py:435-441,462-476). A
+        # training-mode env leaking in here once corrupted a round-3
+        # artifact (223/242 camroute episodes cut short on "exceed
+        # speed"); coerce rather than trust every caller.
+        env = JaxDrivingEnv(env.bank, num_envs=env.num_envs,
+                            config=dataclasses.replace(
+                                env.cfg, training=False))
     banks = [EnsembleAgent._load(p, agent) for p in snapshot_paths]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *banks)
     k = len(banks)

@@ -41,7 +41,8 @@ def main():
     args = p.parse_args()
 
     arms = {}
-    budget = None
+    budgets = []  # one per row: a partial/--resume grid must not silently
+    camroute = False  # misreport the rest (rows can differ; assert below)
     for arm in ("trained", "random"):
         rows = []
         for path in sorted(glob.glob(
@@ -51,12 +52,13 @@ def main():
             cfg = doc["config"]
             total_iters = (cfg.get("resumed_from_iteration") or 0) + \
                 cfg["iterations"]
-            budget = dict(
+            budgets.append(dict(
                 iterations=total_iters,
                 num_envs=cfg["num_envs"],
                 steps_per_iter=cfg["steps_per_iter"],
                 env_steps_per_seed=(total_iters * cfg["num_envs"]
-                                    * cfg["steps_per_iter"]))
+                                    * cfg["steps_per_iter"])))
+            camroute = camroute or bool(cfg.get("camroute"))
             seed = doc["config"].get("seed")
             ev = doc["eval"]
             rows.append(dict(seed=seed,
@@ -68,6 +70,18 @@ def main():
                 seeds=rows,
                 **{m: _ci([r[m] for r in rows if r[m] is not None])
                    for m in METRICS})
+
+    budget = budgets[0] if budgets else None
+    if budgets and any(b != budget for b in budgets):
+        budget = dict(
+            MIXED_BUDGETS_ACROSS_ROWS=True,
+            env_steps_per_seed_min=min(
+                b["env_steps_per_seed"] for b in budgets),
+            env_steps_per_seed_max=max(
+                b["env_steps_per_seed"] for b in budgets),
+            per_row=budgets)
+        print("WARNING: rows ran with differing budgets; "
+              "artifact records min/max + per-row budgets")
 
     gaps = {}
     if "trained" in arms and "random" in arms:
@@ -84,11 +98,28 @@ def main():
                                excludes_zero=bool(abs(gap) > half),
                                direction="trained" if gap > 0 else "random")
 
-    b = budget or {}
+    b = budget if (budget and "per_row" not in (budget or {})) else \
+        (budgets[0] if budgets else {})
+    if camroute:
+        proto = ("CAMERA-ROUTE protocol (route raster blanked from the "
+                 "encoder input, dis/theta masked from the policy obs — "
+                 "route geometry must be perceived from the camera's "
+                 "painted ribbon; the configuration where the encoder is "
+                 "load-bearing, BENCH_r3_scale.json camroute_reeval)")
+        enc = ("trained arm: DANet pretrained 25 epochs with camroute "
+               "blanking on the expert dataset (/tmp/device_scale/enc — "
+               "the SAME encoder as the round-3 single-seed camroute "
+               "runs); random arm: same architecture, init-only")
+    else:
+        proto = ("standard moving-traffic protocol (the "
+                 "corner-floor-breaking configuration)")
+        enc = ("trained arm: DANet pretrained 25 epochs on the balanced "
+               "expert dataset (/tmp/pdata2 protocol: phase-balanced "
+               "lights, slow traffic mix, roadside props); random arm: "
+               "same architecture, init-only")
     artifact = dict(
         experiment=("multi-seed trained-vs-random frozen-encoder study on "
-                    "the device-resident path, standard moving-traffic "
-                    "protocol (the corner-floor-breaking configuration), "
+                    f"the device-resident path, {proto}, "
                     f"{b.get('iterations', '?')} iterations x "
                     f"{b.get('num_envs', '?')} envs x "
                     f"{b.get('steps_per_iter', '?')} steps = "
@@ -99,10 +130,7 @@ def main():
         primary_metric=("mean_driving_score — pre-registered before the "
                         "runs (VERDICT.md round-2 item 2); completion is "
                         "secondary"),
-        encoder=("trained arm: DANet pretrained 25 epochs on the balanced "
-                 "expert dataset (/tmp/pdata2 protocol: phase-balanced "
-                 "lights, slow traffic mix, roadside props); random arm: "
-                 "same architecture, init-only"),
+        encoder=enc,
         arms=arms,
         gaps=gaps,
     )

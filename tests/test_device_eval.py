@@ -19,6 +19,10 @@ def test_device_ensemble_eval_reports_episodes(tmp_path):
         da_feature_channel=32, inter_att_dims=24, z_dims=16))
     p = str(tmp_path / "a.msgpack")
     agent.save_snapshot(p)
+    # deliberately hand evaluate_device a TRAINING-mode env: the
+    # eval-hygiene lock must coerce it to eval mode, so training-only
+    # termination rules ("exceed speed", env_wrapper.py:435-441) can
+    # never appear in an eval artifact (the round-3 camroute leak).
     env = JaxDrivingEnv(make_route_bank(3, seed=1), num_envs=2,
                         config=JaxEnvConfig(max_block_steps=60))
     eps = evaluate_device(agent, env, [p, p], max_steps=160)
@@ -29,7 +33,8 @@ def test_device_ensemble_eval_reports_episodes(tmp_path):
         assert e["error"] in ("vehicle blocked", "route deviation",
                               "collision vehicles!", "collision static",
                               "collision pedestrians!", "success",
-                              "exceed speed")
+                              "route timeout")
+        assert e["error"] != "exceed speed"
         assert e["steps"] > 0
         assert 0.0 <= e["driving_score"] <= 100.0
         if e["error"] == "vehicle blocked":

@@ -123,6 +123,54 @@ def test_reward_block_timeout():
     assert r.action_done[1] == 1
 
 
+def test_eval_mode_disables_training_only_rules():
+    """Eval-hygiene lock (VERDICT r3 weak #3): training-only termination
+    rules must be OFF in eval mode (env_wrapper.py:435-441,462-476) —
+    the bug class that corrupted the round-3 camroute eval artifact.
+    """
+    # 1. overspeed never terminates in eval, at any speed
+    for speed in (9.5, 12.0, 20.0):
+        r = _reward(speed=speed, training=False)
+        assert not r.done and r.error_message == ""
+    # 2. D_max widens to d_max_eval=10: dis=5 (fatal-adjacent in training,
+    #    reward 0 at D_max 2.5/5) still earns deviation reward in eval
+    r_train = _reward(dis=5.0, training=True)
+    r_eval = _reward(dis=5.0, training=False)
+    assert r_eval.rewards[0] > r_train.rewards[0]
+    np.testing.assert_allclose(
+        r_eval.rewards[0], ((1 - 5.0 / 10.0) + 1.0) / 2, atol=1e-6)
+    # 3. block timeout doubles to 800 at the env level: BaseDrivingEnv in
+    #    eval mode must pass max_block_time=800 (step 401 alive, 801 done)
+    st = RewardState(begin=False, last_event_timestamp=0)
+    st.step = 401
+    r = compute_reward(st, RewardConfig(training=False), 0.5, 0.0, 0.0,
+                       [], -1, False, RoadOption.LANEFOLLOW,
+                       max_block_time=800)
+    assert not r.done
+    st2 = RewardState(begin=False, last_event_timestamp=0)
+    st2.step = 801
+    r = compute_reward(st2, RewardConfig(training=False), 0.5, 0.0, 0.0,
+                       [], -1, False, RoadOption.LANEFOLLOW,
+                       max_block_time=800)
+    assert r.done and r.error_message == "vehicle blocked"
+
+
+def test_eval_env_wires_800_block_and_eval_reward():
+    """SimDrivingEnv(training=False) must wire the eval-mode reward config
+    AND the 800-step block timeout (base_env.py chooses 800 over
+    vehicle_block_time when not training — env_wrapper.py:471-476)."""
+    env = SimDrivingEnv(training=False, seed=3)
+    assert env.reward_cfg.training is False
+    assert (env.vehicle_block_time if env.training else 800) == 800
+    env.reset()
+    # drive a few no-op steps: no training-only termination may fire
+    for _ in range(5):
+        _, _, done, info = env.step(np.array([0.0, 1.0, 0.0]))
+        assert info.get("error_message", "") != "exceed speed"
+        if done:
+            break
+
+
 # ---------------------------- route fig ----------------------------
 
 def test_rasterize_straight_line():
