@@ -140,31 +140,39 @@ class CarlaDrivingEnv(BaseDrivingEnv):
     # ---------------- route building ----------------
 
     def _trace_route(self, keypoints: np.ndarray) -> List[Tuple[Any, RoadOption]]:
-        """Dense map-aware trace start->end (route_manipulation.py:132-169)."""
+        """Dense map-aware trace start->end (route_manipulation.py:132-169).
+
+        Uses the framework's own MapRouter (envs/map_router.py — the
+        GlobalRoutePlanner algorithm re-derived over the map API, so no
+        `agents` egg package is required); falls back to straight-line
+        interpolation only when the map exposes no lane topology."""
         carla = self._carla
-        try:
-            from agents.navigation.global_route_planner import (
-                GlobalRoutePlanner,
-            )
+        if hasattr(self.provider.map, "get_topology"):
+            from cadre_tpu.envs.map_router import MapRouter
 
-            grp = GlobalRoutePlanner(self.provider.map, 1.0)
-            route = []
-            for a, b in zip(keypoints[:-1], keypoints[1:]):
-                la = carla.Location(x=float(a[0]), y=float(a[1]))
-                lb = carla.Location(x=float(b[0]), y=float(b[1]))
-                route.extend(grp.trace_route(la, lb))
-            return [(wp.transform, opt) for wp, opt in route]
-        except ImportError:
-            # fall back to straight-line interpolation (no map topology)
-            from cadre_tpu.envs.route_parser import interpolate_route
+            if getattr(self, "_map_router", None) is None or \
+                    self._map_router._map is not self.provider.map:
+                self._map_router = MapRouter(self.provider.map, 1.0)
+            try:
+                route = []
+                for a, b in zip(keypoints[:-1], keypoints[1:]):
+                    la = carla.Location(x=float(a[0]), y=float(a[1]))
+                    lb = carla.Location(x=float(b[0]), y=float(b[1]))
+                    route.extend(self._map_router.trace_route(la, lb))
+                if route:
+                    return [(wp.transform, opt) for wp, opt in route]
+            except ValueError:
+                pass  # disconnected topology: straight-line fallback
+        # straight-line interpolation (no map topology)
+        from cadre_tpu.envs.route_parser import interpolate_route
 
-            dense = interpolate_route(keypoints, 1.0)
-            out = []
-            for p in dense:
-                tf = carla.Transform(carla.Location(x=float(p[0]),
-                                                    y=float(p[1])))
-                out.append((tf, RoadOption.LANEFOLLOW))
-            return out
+        dense = interpolate_route(keypoints, 1.0)
+        out = []
+        for p in dense:
+            tf = carla.Transform(carla.Location(x=float(p[0]),
+                                                y=float(p[1])))
+            out.append((tf, RoadOption.LANEFOLLOW))
+        return out
 
     def _to_gps(self, transform) -> Dict[str, float]:
         """World transform -> geo location via the map's geo-reference."""
@@ -186,6 +194,7 @@ class CarlaDrivingEnv(BaseDrivingEnv):
         self.traffic_manager.set_random_device_seed(self._tm_seed)
         self._watchdog.update()
         self.world.tick()
+        self._watchdog.pause()
 
         cfg = self.route_indexer.next()
         self._current_config = cfg
@@ -279,6 +288,7 @@ class CarlaDrivingEnv(BaseDrivingEnv):
         self._setup_sensors()
         self._watchdog.update()
         self.world.tick()
+        self._watchdog.pause()
         self._on_world_tick()
 
     def _setup_sensors(self) -> None:
@@ -337,6 +347,7 @@ class CarlaDrivingEnv(BaseDrivingEnv):
         self._sensors.append(collision)
         self._watchdog.update()
         self.world.tick()
+        self._watchdog.pause()
 
     def _on_collision(self, event) -> None:
         other = event.other_actor
@@ -410,9 +421,14 @@ class CarlaDrivingEnv(BaseDrivingEnv):
         spectator.set_transform(carla.Transform(
             tf.location + carla.Location(z=50),
             carla.Rotation(pitch=-90)))
+        # the watchdog brackets ONLY the server round trip: agent inference
+        # (first-step JIT compile can exceed client_timeout), checkpoint
+        # saves, and reset-time loading must never count against it
         self._watchdog.update()
         self.world.tick(self._timeout)
-        if self._watchdog.failed:
+        failed = self._watchdog.failed
+        self._watchdog.pause()
+        if failed:
             raise RuntimeError(
                 f"simulator hung: world.tick exceeded the "
                 f"{self._watchdog.timeout:.0f}s watchdog")

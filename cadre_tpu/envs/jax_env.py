@@ -21,7 +21,11 @@ Behavioral contract (same as SimDrivingEnv, cited to the reference):
     ego-frame canvas rotated by compass+pi/2 at 3.66 px/m.
   - reward/termination: env_wrapper.py:361-482 via the same math as
     cadre_tpu/envs/reward.py (theta grace in turns, obstacle-aware speed
-    shaping, D_max widening, block timeout, overspeed, event table).
+    shaping, D_max widening, block timeout, overspeed, event table),
+    including the OutsideRouteLanes analog (route_fig.signed_route_lateral
+    envelope -> steer -1 + done, env_wrapper.py:421-425) and the
+    two-waypoint supplementary-angle theta / perpendicular-dis endgame
+    (route_fig.py heading_error / draw_route).
   - camera: SimDrivingEnv._render_rgb — sky/ground split, projected route
     markers, obstacle blobs, traffic-light heads with the forced
     green/yellow/red cycle (atomic_criteria.py:1869-1871), weather
@@ -29,9 +33,6 @@ Behavioral contract (same as SimDrivingEnv, cited to the reference):
 
 Documented divergences from the host env (all small, none touching the
 reward table):
-  - the two-waypoint supplementary-angle theta case (route_fig.py:149-153)
-    and the OutsideRouteLanes criterion are omitted (no lane geometry in the
-    synthetic world); ROUTE_DEVIATION uses the InRoute >30 m test.
   - red-light and stop-sign infractions run IN-GRAPH (vectorized ports of
     RunningRedLightCriterion / RunningStopCriterion,
     atomic_criteria.py:1836-2075 / :2076+ via envs/traffic_lights.py) and
@@ -61,6 +62,8 @@ import numpy as np
 from cadre_tpu.ops import paint
 from cadre_tpu.envs.route_fig import (
     LINE_WIDTH,
+    OUT_LEFT as _OUT_LEFT,
+    OUT_RIGHT as _OUT_RIGHT,
     PIXELS_PER_METER,
     SIZE_X,
     SIZE_Y,
@@ -229,6 +232,7 @@ ERROR_CODES = {
     0: "", 1: "collision static", 2: "collision vehicles!",
     3: "collision pedestrians!", 4: "vehicle blocked", 5: "route deviation",
     6: "success", 7: "exceed speed", 8: "route timeout",
+    9: "outside route!",
 }
 
 
@@ -364,25 +368,55 @@ def _scalars(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState):
     list_mask = (jnp.arange(cfg.window) < n_list) & valid
 
     # `dis` = Euclidean distance to the near node, zeroed below 0.5 m
-    # (route_fig.heading_error / env_wrapper.py:484-561; the perpendicular
-    # distance only replaces it in the two-waypoint endgame we omit)
+    # (route_fig.heading_error / env_wrapper.py:484-561); in the
+    # two-waypoint endgame the host swaps in the perpendicular distance to
+    # the remaining segment (route_fig.draw_route / env_wrapper.py:287-296)
     p0, p1 = w[0], w[1]
+    n_valid = jnp.sum(list_mask)
+    endgame = n_valid == 2
+    seg01 = p1 - p0
+    nseg = jnp.linalg.norm(seg01)
+    relp = state.pos - p0
+    pep = jnp.abs(seg01[0] * relp[1] - seg01[1] * relp[0]) \
+        / jnp.maximum(nseg, 1e-9)
+    pep = jnp.where(nseg > 1e-3, pep, 0.0)
     dis = jnp.linalg.norm(p0 - state.pos)
     dis = jnp.where(dis < 0.5, 0.0, dis)
+    dis = jnp.where(endgame, pep, dis)
 
-    # heading error (route_fig.heading_error; far node = first distinct)
+    # heading error (route_fig.heading_error; far node = first distinct),
+    # with the two-waypoint supplementary-angle case (route_fig.py:149-153 /
+    # env_wrapper.py get_theta): when only 2 nodes remain and the far node
+    # sits at positive rotated-y in the ego raster frame, theta -> pi-theta
     fwd = _heading(state.yaw)
     v2 = p1 - state.pos
     n2 = jnp.linalg.norm(v2)
     cosang = jnp.clip(jnp.dot(fwd, v2) / jnp.maximum(n2, 1e-9), -1.0, 1.0)
     theta = jnp.where(n2 > 1e-9, jnp.arccos(cosang), 0.0)
+    c = jnp.deg2rad(state.yaw) + jnp.pi / 2
+    y4 = -jnp.sin(c) * v2[0] + jnp.cos(c) * v2[1]
+    theta = jnp.where(endgame & (y4 > 0), jnp.pi - theta, theta)
 
     # InRoute: distance to the nearest upcoming waypoint
     d_all = jnp.linalg.norm(w - state.pos[None], axis=-1)
     off_route = jnp.min(jnp.where(valid, d_all, jnp.inf))
 
+    # OutsideRouteLanesTest analog (route_fig.signed_route_lateral /
+    # atomic_criteria.py:1034+): signed lateral from the nearest window
+    # segment, positive to the LEFT of travel; outside the two-lane road
+    # envelope = past OUT_LEFT (6.55) left or OUT_RIGHT (3.05) right
+    i_near = jnp.argmin(jnp.where(valid, d_all, jnp.inf))
+    i_seg = jnp.minimum(i_near, cfg.window - 2)
+    sp0 = w[i_seg]
+    sseg = w[i_seg + 1] - sp0
+    snrm = jnp.linalg.norm(sseg)
+    srel = state.pos - sp0
+    lat = (sseg[0] * srel[1] - sseg[1] * srel[0]) / jnp.maximum(snrm, 1e-9)
+    seg_ok = valid[i_seg + 1] & (snrm > 1e-6)
+    off_lane = seg_ok & ((lat > _OUT_LEFT) | (lat < -_OUT_RIGHT))
+
     return dict(w=w, list_mask=list_mask, dis=dis, theta=theta,
-                off_route=off_route)
+                off_route=off_route, off_lane=off_lane)
 
 
 def _update_progress(bank: RouteBank, state: JaxEnvState,
@@ -647,8 +681,14 @@ def _physics(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
                                   obs[:, 4] - cfg.npc_accel * cfg.dt,
                                   obs[:, 4] + cfg.npc_accel * cfg.dt))
     s_new = s + v * cfg.dt
-    # past the route end: recycle to the start unless the ego is still there
-    near_start = jnp.linalg.norm(route[1] - pos) < 12.0
+    # past the route end: recycle to the start unless the ego is near it.
+    # Clearance 25 m: at worst-case closing speed (ego max_speed 9 +
+    # npc_cruise hi 6.5 = 15.5 m/s) a 12 m gap closes in under a second,
+    # so a respawn just outside a small radius could still drop a vehicle
+    # effectively "next to" an approaching ego (e.g. a later route leg
+    # passing the start point) and end the episode with a spurious
+    # collision; 25 m gives the ego >1.5 s to react like real traffic.
+    near_start = jnp.linalg.norm(route[1] - pos) < 25.0
     s_new = jnp.where(s_new >= rlen - 2.0,
                       jnp.where(near_start, rlen - 2.0, 1.0), s_new)
     i0n = jnp.clip(s_new.astype(jnp.int32), 0, route.shape[0] - 2)
@@ -683,14 +723,23 @@ def _reward_step(cfg: JaxEnvConfig, state: JaxEnvState, scal, collision,
     coll_vehicle = collision[1] & ~begin
     coll_walker = collision[2] & ~begin
     deviation = (scal["off_route"] > cfg.max_offroad) & ~begin
+    # OUTSIDE_ROUTE_LANES_INFRACTION -> steer -1 + done ("outside route!",
+    # env_wrapper.py:421-425 / reward.py) — same handling as the host env.
+    # Suppressed inside turns: the reference relaxes its lane checks at
+    # junctions ("Lanes and roads are too chaotic at junctions",
+    # atomic_criteria.py:1183), and a vehicle physically cannot track the
+    # synthetic route's sharp corner polylines within the lane envelope
+    # (min turning radius ~4.1 m at full wheel lock)
+    outside = scal["off_lane"] & ~begin & ~in_turn
     completed = route_completed & ~begin
 
-    steer_ev = (-1.0 * coll_static - 1.0 * deviation + 5.0 * completed)
+    steer_ev = (-1.0 * coll_static - 1.0 * (deviation | outside)
+                + 5.0 * completed)
     throttle_ev = (-1.0 * (coll_vehicle | coll_walker) + 5.0 * completed)
 
-    done = (coll_vehicle | coll_walker | deviation | completed
+    done = (coll_vehicle | coll_walker | deviation | outside | completed
             | (coll_static & cfg.training))
-    steer_done = coll_static | deviation | completed
+    steer_done = coll_static | deviation | outside | completed
     throttle_done = coll_vehicle | coll_walker | completed
 
     # error codes, later writers win as in the sequential reference checks
@@ -698,6 +747,7 @@ def _reward_step(cfg: JaxEnvConfig, state: JaxEnvState, scal, collision,
     err = jnp.where(coll_static, 1, err)
     err = jnp.where(coll_vehicle, 2, err)
     err = jnp.where(coll_walker, 3, err)
+    err = jnp.where(outside, 9, err)
     err = jnp.where(deviation, 5, err)
     err = jnp.where(completed, 6, err)
 
@@ -945,7 +995,7 @@ def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key,
     # at least one (inert, far-away) obstacle row so the collision and
     # obstacle-cone reductions never run over a zero-length axis
     m = max(cfg.n_vehicles + cfg.n_walkers + cfg.n_hazards, 1)
-    keys = jax.random.split(k_obs, 6)
+    keys = jax.random.split(k_obs, 7)
     lo = rlen // 4
     idx = jax.random.randint(keys[0], (m,), 0, 1 << 30) % \
         jnp.maximum(rlen - lo, 1) + lo
@@ -959,7 +1009,7 @@ def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key,
     radius = jnp.where(is_walker, 0.4, 1.2)
     kind = jnp.where(is_walker, 1, 0).astype(jnp.float32)
     w_speed = jax.random.uniform(keys[2], (m,), minval=0.3, maxval=1.2)
-    cruise = jax.random.uniform(keys[2], (m,), minval=cfg.npc_cruise[0],
+    cruise = jax.random.uniform(keys[6], (m,), minval=cfg.npc_cruise[0],
                                 maxval=cfg.npc_cruise[1])
     is_vehicle = ~is_walker & (rank < cfg.n_vehicles)
     speed = jnp.where(is_walker, w_speed, jnp.where(is_vehicle, cruise, 0.0))

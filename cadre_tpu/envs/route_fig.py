@@ -121,6 +121,43 @@ def perpendicular_distance(route_list: Sequence[np.ndarray],
     return 0.0
 
 
+# Synthetic-world OutsideRouteLanesTest analog (atomic_criteria.py:1034+).
+# The dense route polyline is the EGO LANE centerline of a two-lane road
+# (oncoming lane to the left, right-hand traffic). "Outside driving lanes"
+# means past the far edge of the oncoming lane on the left, or past the ego
+# lane's own edge on the right — each padded by the reference's
+# ALLOWED_OUT_DISTANCE shoulder (1.3 m). The reference's wrong-lane state
+# machine needs road/lane ids and is meaningless without map topology; the
+# geometric outside test is the part the synthetic world can express.
+LANE_WIDTH = 3.5
+ALLOWED_OUT_DISTANCE = 1.3          # atomic_criteria.py:1045
+OUT_LEFT = 1.5 * LANE_WIDTH + ALLOWED_OUT_DISTANCE    # 6.55 m
+OUT_RIGHT = 0.5 * LANE_WIDTH + ALLOWED_OUT_DISTANCE   # 3.05 m
+
+
+def signed_route_lateral(dense_route: np.ndarray, pos: np.ndarray) -> float:
+    """Signed lateral offset of `pos` from the nearest dense-route segment:
+    positive to the LEFT of the direction of travel (toward the oncoming
+    lane)."""
+    pts = np.asarray(dense_route, np.float64)
+    if len(pts) < 2:
+        return 0.0
+    p = np.asarray(pos, np.float64)
+    i = int(np.argmin(((pts - p) ** 2).sum(axis=-1)))
+    i = min(i, len(pts) - 2)
+    seg = pts[i + 1] - pts[i]
+    n = math.hypot(seg[0], seg[1])
+    if n < 1e-6:
+        return 0.0
+    rel = p - pts[i]
+    return float(seg[0] * rel[1] - seg[1] * rel[0]) / n
+
+
+def outside_route_lanes(lateral: float) -> bool:
+    """True when the signed lateral is outside the two-lane road envelope."""
+    return lateral > OUT_LEFT or lateral < -OUT_RIGHT
+
+
 def heading_error(far_node: Optional[np.ndarray], near_node: np.ndarray,
                   pos: np.ndarray, forward: np.ndarray, route_len: int,
                   state: TurnState, compass: float) -> Tuple[float, float]:

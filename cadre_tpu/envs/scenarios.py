@@ -916,6 +916,261 @@ class WaitForTrafficLightState(Condition):
         return self._light.state_at(t) == self._state
 
 
+class WalkerCollision(Condition):
+    """True when any background VEHICLE (not the ego, not the walker
+    itself) comes within 2 m of the walker
+    (atomic_trigger_conditions.py:280-322)."""
+
+    def __init__(self, ob):
+        self._ob = ob
+
+    def __call__(self, env) -> bool:
+        for other in getattr(env, "_obstacles", []):
+            if other is self._ob or other.kind == "walker":
+                continue
+            if float(np.hypot(*(other.pos - self._ob.pos))) < 2.0:
+                return True
+        return False
+
+
+class HasBeenOccupied(Condition):
+    """True when any other actor (ego excluded) sits within 5 m of the
+    actor's location (atomic_trigger_conditions.py:359-409)."""
+
+    def __init__(self, ob):
+        self._ob = ob
+
+    def __call__(self, env) -> bool:
+        for other in getattr(env, "_obstacles", []):
+            if other is self._ob:
+                continue
+            if float(np.hypot(*(other.pos - self._ob.pos))) < 5.0:
+                return True
+        return False
+
+
+class TooFarAway(Condition):
+    """True once the actor is more than `distance` m from the ego
+    (atomic_trigger_conditions.py:410-463; reference threshold 20 m)."""
+
+    def __init__(self, ob, distance: float = 20.0):
+        self._ob, self._d = ob, distance
+
+    def __call__(self, env) -> bool:
+        return float(np.hypot(*(env._pos - self._ob.pos))) > self._d
+
+
+class Rectify(Condition):
+    """One-shot status-message setter that immediately succeeds
+    (atomic_trigger_conditions.py:323-358 — the reference uses it to
+    surface a message through a shared status list)."""
+
+    def __init__(self, status_list, message: str):
+        self._list, self._msg = status_list, message
+
+    def __call__(self, env) -> bool:
+        self._list[0] = self._msg
+        return True
+
+
+class TriggerAcceleration(Condition):
+    """True once |dv/dt| crosses `target` m/s^2
+    (atomic_trigger_conditions.py:556-601; the reference reads the carla
+    actor's acceleration vector — the host twin differentiates speed)."""
+
+    def __init__(self, ob, target: float):
+        self._ob, self._target = ob, target
+        self._prev = None
+
+    def __call__(self, env) -> bool:
+        v = _actor_speed(env, self._ob)
+        accel = 0.0 if self._prev is None else abs(v - self._prev) / env.dt
+        self._prev = v
+        return accel > self._target
+
+
+class TimeOfDayComparison(Condition):
+    """True once the sim clock passes `elapsed` seconds — the analog of the
+    reference's blackboard-Datetime comparison maintained by
+    WeatherBehavior (atomic_trigger_conditions.py:602-646)."""
+
+    def __init__(self, elapsed: float):
+        self._elapsed = elapsed
+
+    def __call__(self, env) -> bool:
+        return getattr(env, "_step_count", 0) * env.dt > self._elapsed
+
+
+def _route_corners(dense: np.ndarray, angle_deg: float = 30.0) -> np.ndarray:
+    """Corner points of a dense polyline (direction change > angle), the
+    synthetic world's 'intersections'."""
+    if len(dense) < 12:
+        return np.zeros((0, 2))
+    a = dense[5:-5] - dense[:-10]
+    b = dense[10:] - dense[5:-5]
+    na = np.hypot(a[:, 0], a[:, 1])
+    nb = np.hypot(b[:, 0], b[:, 1])
+    cos = (a * b).sum(axis=1) / np.maximum(na * nb, 1e-9)
+    corner = cos < math.cos(math.radians(angle_deg))
+    # suppress runs to a single representative each
+    out = []
+    i = 0
+    while i < len(corner):
+        if corner[i]:
+            j = i
+            while j + 1 < len(corner) and corner[j + 1]:
+                j += 1
+            out.append(dense[5 + (i + j) // 2])
+            i = j + 1
+        else:
+            i += 1
+    return np.asarray(out) if out else np.zeros((0, 2))
+
+
+class InTriggerDistanceToNextIntersection(Condition):
+    """True within `distance` m of the next route corner — the synthetic
+    analog of walking map waypoints to the next junction
+    (atomic_trigger_conditions.py:838-883)."""
+
+    def __init__(self, ob, distance: float):
+        self._ob, self._d = ob, distance
+        self._corners = None
+
+    def __call__(self, env) -> bool:
+        if self._corners is None:
+            self._corners = _route_corners(np.asarray(env._route_xy))
+        p = _actor_pos(env, self._ob)
+        if not len(self._corners):
+            return False
+        return float(np.hypot(*(self._corners - p).T).min()) < self._d
+
+
+class InTriggerDistanceToLocationAlongRoute(Condition):
+    """True when the actor is within `distance` BEFORE `location` measured
+    along the route arc (atomic_trigger_conditions.py:884-929)."""
+
+    def __init__(self, ob, location, distance: float):
+        self._ob = ob
+        self._loc = np.asarray(location, float)
+        self._d = distance
+        self._loc_s = None
+
+    @staticmethod
+    def _arc_s(dense: np.ndarray, p: np.ndarray) -> float:
+        return float(np.argmin(np.hypot(*(dense - p).T)))  # 1 m spacing
+
+    def __call__(self, env) -> bool:
+        dense = np.asarray(env._route_xy)
+        if self._loc_s is None:
+            self._loc_s = self._arc_s(dense, self._loc)
+        p = _actor_pos(env, self._ob)
+        if float(np.hypot(*(p - self._loc))) >= self._d + 20.0:
+            return False
+        actor_s = self._arc_s(dense, p)
+        return (actor_s < self._loc_s < actor_s + self._d) \
+            or self._loc_s < 1.0
+
+
+class WaitUntilInFront(Condition):
+    """True once the actor has passed `other` (projection on other's
+    heading positive at a bumper-length lookahead) and is within 10 m
+    (atomic_trigger_conditions.py:1131-1206)."""
+
+    def __init__(self, ob, other, factor: float = 1.0,
+                 check_distance: bool = True):
+        self._ob, self._other = ob, other
+        self._len = max(1e-6, factor) * (2.45 + 2.45)
+        self._check = check_distance
+
+    def __call__(self, env) -> bool:
+        p = _actor_pos(env, self._ob)
+        op = _actor_pos(env, self._other)
+        h = getattr(self._other, "heading", 0.0) if self._other != "ego" \
+            else math.radians(env._yaw)
+        d = np.asarray([math.cos(h), math.sin(h)])
+        ahead = op + self._len * d
+        in_front = float((p - ahead) @ d) > 0.0
+        close = (not self._check) or float(np.hypot(*(p - ahead))) < 10.0
+        return in_front and close
+
+
+class InTimeToArrivalToVehicleSideLane(Condition):
+    """ETA to the point one lane LEFT/RIGHT of `other` below `time` —
+    the cut-in trigger (atomic_trigger_conditions.py:1059-1130)."""
+
+    def __init__(self, ob, other, time: float, side_lane: str,
+                 lane_width: float = 3.5):
+        if side_lane not in ("left", "right"):
+            raise ValueError("side_lane must be 'left' or 'right'")
+        self._ob, self._other = ob, other
+        self._time = time
+        # reference quirk: cutting in from the RIGHT targets the other's
+        # LEFT lane and vice versa
+        self._sign = +1.0 if side_lane == "right" else -1.0
+        self._w = lane_width
+
+    def __call__(self, env) -> bool:
+        op = _actor_pos(env, self._other)
+        h = getattr(self._other, "heading", 0.0) if self._other != "ego" \
+            else math.radians(env._yaw)
+        left = np.asarray([-math.sin(h), math.cos(h)])
+        target = op + self._sign * self._w * left
+        d = float(np.hypot(*(target - _actor_pos(env, self._ob))))
+        v = _actor_speed(env, self._ob)
+        if v < 1e-3:
+            return d < 0.5
+        return d / v < self._time
+
+
+class WaitForBlackboardVariable(Condition):
+    """True once `env.blackboard[name] == value` (the py_trees blackboard
+    pattern scenarios use to sequence across parallel subtrees)."""
+
+    def __init__(self, name: str, value: Any = True):
+        self._name, self._value = name, value
+
+    def __call__(self, env) -> bool:
+        return getattr(env, "blackboard", {}).get(self._name) == self._value
+
+
+class SetBlackboardVariableBehavior(ScenarioBehavior):
+    """One-shot blackboard write (py_trees SetBlackboardVariable)."""
+
+    def __init__(self, name: str, value: Any = True):
+        self._name, self._value = name, value
+
+    def tick(self, env) -> bool:
+        if not hasattr(env, "blackboard"):
+            env.blackboard = {}
+        env.blackboard[self._name] = self._value
+        return False
+
+
+class StartRecorderBehavior(ScenarioBehavior):
+    """Atomic StartRecorder (atomic_behaviors.py:1999-2025): start the
+    CARLA server-side recorder through the env's client (no-op on envs
+    without one)."""
+
+    def __init__(self, recorder_name: str):
+        self._name = recorder_name
+
+    def tick(self, env) -> bool:
+        client = getattr(env, "client", None)
+        if client is not None and hasattr(client, "start_recorder"):
+            client.start_recorder(self._name)
+        return False
+
+
+class StopRecorderBehavior(ScenarioBehavior):
+    """Atomic StopRecorder (atomic_behaviors.py:2026-2045)."""
+
+    def tick(self, env) -> bool:
+        client = getattr(env, "client", None)
+        if client is not None and hasattr(client, "stop_recorder"):
+            client.stop_recorder()
+        return False
+
+
 class ConditionBehavior(ScenarioBehavior):
     """Adapter: a condition as a behavior that runs until satisfied (the
     py_trees pattern of putting trigger conditions inside sequences)."""

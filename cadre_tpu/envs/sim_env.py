@@ -365,6 +365,11 @@ class SimDrivingEnv(BaseDrivingEnv):
         # gap 8 m, red-light stop within 10 m, accel limit 3 m/s^2)
         dense = self._route_xy
         t_now = self._step_count * self.dt
+        # hold checks run against PRE-step positions for every NPC pair —
+        # jax_env._physics computes all holds from the same simultaneous
+        # snapshot, and updating ob.pos mid-loop would let later NPCs see
+        # earlier NPCs already advanced (one-tick parity drift per pair)
+        pre_pos = {id(ob): ob.pos.copy() for ob in self._obstacles}
         for ob in self._obstacles:
             if ob.route_s < 0 or ob.managed:
                 continue
@@ -376,7 +381,7 @@ class SimDrivingEnv(BaseDrivingEnv):
             for other in self._obstacles:
                 if other is ob:
                     continue
-                rel = other.pos - ob.pos
+                rel = pre_pos[id(other)] - pre_pos[id(ob)]
                 fwd = float(rel @ dirn)
                 lat = abs(float(rel[0] * dirn[1] - rel[1] * dirn[0]))
                 if 0.1 < fwd < 8.0 and lat < 2.5:
@@ -405,8 +410,10 @@ class SimDrivingEnv(BaseDrivingEnv):
                 ob.speed + 3.0 * self.dt)))
             ob.route_s += ob.speed * self.dt
             if ob.route_s >= len(dense) - 2:
-                # recycle to the start unless the ego is still there
-                if float(np.hypot(*(dense[1] - self._pos))) > 12.0:
+                # recycle to the start unless the ego is near it (25 m
+                # clearance, matching jax_env._physics — see the closing-
+                # speed rationale there)
+                if float(np.hypot(*(dense[1] - self._pos))) > 25.0:
                     ob.route_s = 1.0
                 else:
                     ob.route_s = float(len(dense) - 2)
@@ -440,12 +447,25 @@ class SimDrivingEnv(BaseDrivingEnv):
         for light in self._lights:
             light.state = light.state_at(t)
 
+        # OutsideRouteLanesTest analog: signed lateral from the dense route
+        # centerline vs the two-lane road envelope (route_fig.OUT_LEFT /
+        # OUT_RIGHT; atomic_criteria.py:1034+). Suppressed inside turns —
+        # the reference relaxes lane checks at junctions
+        # (atomic_criteria.py:1183) and sharp synthetic corners cannot be
+        # tracked within the envelope at the ego's turning radius.
+        from cadre_tpu.envs.route_fig import (
+            outside_route_lanes,
+            signed_route_lateral,
+        )
+        off_lane = (not self._turn_state.in_turn) and outside_route_lanes(
+            signed_route_lateral(self._route_xy, self._pos))
+
         snap = VehicleSnapshot(
             pos=self._pos.copy(), yaw=self._yaw, speed=self._speed,
             collided_static=self._collision["static"],
             collided_vehicle=self._collision["vehicle"],
             collided_pedestrian=self._collision["walker"],
-            forward=heading)
+            forward=heading, off_lane=off_lane)
         for crit in self._criteria:
             crit.update(snap)
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import glob
+import math
 import os
 from typing import Any, Dict, Iterator, List, Optional, Sequence
 
@@ -49,13 +50,20 @@ def collect_dataset(env, expert, n_frames: int, out_dir: str,
     stuck = 0
     while frames < n_frames:
         control = expert.act(env, tick)
+        # waiting at a visible red/yellow light is the one stopped state
+        # whose frames we MUST keep: they are the rarest light classes
+        # (round-3 holdout had red at 29/480 frames and 0.000 accuracy)
+        # and the wait is bounded by the light cycle, so the record guard
+        # only applies to uninformative stalls (parked hazards etc.)
+        at_light = int(tick.get("light_state", 0)) in (2, 3) \
+            and 0.0 < float(tick.get("light_dist", -1.0)) < 25.0
         if float(tick.get("speed", 0.0)) < 0.3:
             stuck += 1
             if stuck >= max_stuck_reset:
                 stuck = 0
                 tick = env.reset()
                 continue
-            if stuck > max_stuck_record:
+            if stuck > max_stuck_record and not at_light:
                 tick, _, done, _ = env.step(control)
                 if done:
                     stuck = 0
@@ -196,7 +204,8 @@ class PerceptionDataLoader:
 
     def __init__(self, root_dir, batch_size: int = 48, seed: int = 0,
                  augment: bool = False, drop_last: bool = True,
-                 cache_in_memory: bool = False, packed: bool = False):
+                 cache_in_memory: bool = False, packed: bool = False,
+                 balance: bool = False):
         # accepts a shard directory or an explicit list of shard paths
         # (train/holdout splits reuse the same loader)
         if isinstance(root_dir, (list, tuple)):
@@ -209,6 +218,7 @@ class PerceptionDataLoader:
         self.augment = augment
         self.drop_last = drop_last
         self.packed = packed
+        self.balance = balance
         # npz shards are zlib-compressed; on a one-core host the per-epoch
         # decompression dominates the step time, so optionally keep each
         # shard's raw arrays resident after first touch
@@ -272,6 +282,33 @@ class PerceptionDataLoader:
             "light_dist": z["light_dist"][idx].astype(np.float32),
         }
 
+    def _balanced_order(self, z, n: int) -> np.ndarray:
+        """Epoch order with rare light classes and walker-visible frames
+        oversampled (repeat factor capped at 8x so a handful of frames
+        cannot dominate an epoch).
+
+        This is the collection-side half of the reference's imbalance
+        mechanism (per-class CE weights, carla_perception/Models/
+        cal_losses.py, stay on as the loss-side half): with red lights at
+        ~5% of frames and walkers in ~15%, inverse-frequency CE alone left
+        the red class at 0.000 holdout accuracy — the head simply never
+        saw enough examples per epoch to escape the always-predict-common
+        basin.
+        """
+        ls = z["light_state"][:n].astype(np.int64)
+        counts = np.bincount(ls, minlength=4).astype(np.float64)
+        tgt = counts.max()
+        factor = np.minimum(np.ceil(tgt / np.maximum(counts, 1.0)), 8.0)
+        rep = factor[ls]
+        seg = z["camera_seg"]
+        has_walker = (np.asarray(seg[:n]) == 3).any(axis=(1, 2))
+        wfrac = float(has_walker.mean())
+        if 0.0 < wfrac < 0.25:
+            wf = min(math.ceil(0.25 / wfrac), 8)
+            rep = np.maximum(rep, np.where(has_walker, float(wf), 1.0))
+        idx = np.repeat(np.arange(n), rep.astype(np.int64))
+        return self._rng.permutation(idx)
+
     @contextlib.contextmanager
     def _shard(self, path: str):
         if self._cache is None:
@@ -289,9 +326,10 @@ class PerceptionDataLoader:
         for si in shard_order:
             with self._shard(self.paths[si]) as z:
                 n = self._sizes[si]
-                order = self._rng.permutation(n)
+                order = self._balanced_order(z, n) if self.balance \
+                    else self._rng.permutation(n)
                 start = 0
-                while start < n:
+                while start < len(order):   # balanced orders exceed n
                     take = self.batch_size if leftover is None else \
                         self.batch_size - len(leftover["speed"])
                     idx = np.sort(order[start:start + take])

@@ -53,7 +53,7 @@ class IterationMetrics(NamedTuple):
     mean_throttle_reward: jnp.ndarray
     episodes_done: jnp.ndarray
     completion_sum: jnp.ndarray      # sum of completion at done steps
-    error_hist: jnp.ndarray          # [9] f32 done-step counts per ERROR_CODE
+    error_hist: jnp.ndarray          # [10] f32 done-step counts per ERROR_CODE
     red_lights: jnp.ndarray          # red-light infractions over done episodes
     checksum: jnp.ndarray            # data-dependent scalar (anti-DCE sync)
 
@@ -182,7 +182,7 @@ def make_device_iteration(agent: CadreAgent, env: JaxDrivingEnv,
             mean_throttle_reward=ys["reward"][:, :, 1].mean(),
             episodes_done=done_f.sum(),
             completion_sum=(ys["completion"] * done_f).sum(),
-            error_hist=(jax.nn.one_hot(ys["error_code"], 9)
+            error_hist=(jax.nn.one_hot(ys["error_code"], 10)
                         * done_f[..., None]).sum(axis=(0, 1)),
             red_lights=(ys["red"].astype(jnp.float32) * done_f).sum(),
             checksum=ys["reward"].sum()

@@ -43,9 +43,30 @@ class Watchdog:
             self._on_timeout()
 
     def update(self) -> None:
-        """Pet the dog; call once per loop iteration."""
+        """Pet the dog; call once per loop iteration.
+
+        Each pet opens a FRESH timing window: a previously latched failure
+        is cleared, so one healthy gap longer than the timeout (first-step
+        JIT compile, checkpoint save, world loading) cannot poison every
+        subsequent check. Callers that want the failure to be observed must
+        check `.failed` before the next pet — the env does so immediately
+        after the guarded `world.tick` returns.
+        """
         if not self._stopped:
+            self._failed.clear()
             self._arm()
+
+    def pause(self) -> None:
+        """Disarm the timer without stopping the watchdog.
+
+        Use to bracket only the monitored section (the simulator round
+        trip): `update()` immediately before, `pause()` right after the
+        call returns, so agent-side time between env steps is never
+        counted against the timeout.
+        """
+        if self._timer is not None:
+            self._timer.cancel()
+            self._timer = None
 
     def stop(self) -> None:
         self._stopped = True

@@ -286,3 +286,104 @@ def test_crossing_hazards_arm_and_spring():
     ob4 = np.array(state4.obstacles)[0]
     moved = np.hypot(*(ob4[0, :2] - ob3[0, :2]))
     assert moved == pytest.approx(hz[0] * cfg.dt, rel=1e-3)
+
+
+def test_outside_route_lanes_parity():
+    """Steering hard off the road must end BOTH envs with the
+    OutsideRouteLanes termination ('outside route!', code 9) on the same
+    step (atomic_criteria.py:1034+ geometry; env_wrapper.py:421-425
+    reward handling). Exercises the round-4 device-env analog."""
+    from cadre_tpu.envs.sim_env import SimDrivingEnv
+
+    sim = SimDrivingEnv(seed=1, vehicle_num=(0, 0),
+                        with_traffic_lights=False, weather="ClearNoon",
+                        seq_length=1)
+    tick = sim.reset()
+    bank = _bank_from_sim(sim)
+    cfg = JaxEnvConfig(n_vehicles=0, n_walkers=0, randomize_weather=False,
+                       render=False)
+    env = JaxDrivingEnv(bank, num_envs=1, config=cfg)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    t_host = t_dev = None
+    for t in range(300):
+        a = [0.0, 0.6, 0.0] if t < 30 else [-0.9, 0.4, 0.0]
+        if t_host is None:
+            tick, _, done, info = sim.step(a)
+            if done:
+                assert info["error_message"] == "outside route!"
+                t_host = t
+        if t_dev is None:
+            state, out = env.step(state,
+                                  jnp.asarray([np.asarray(a, np.float32)]))
+            if bool(out.done[0]):
+                assert int(out.error_code[0]) == 9
+                t_dev = t
+        if t_host is not None and t_dev is not None:
+            break
+    assert t_host is not None and t_dev is not None
+    assert abs(t_host - t_dev) <= 1, (t_host, t_dev)
+
+
+def test_signed_route_lateral_envelope():
+    """Unit check of the two-lane road envelope: left boundary at
+    1.5*lane+1.3 (past the oncoming lane), right at 0.5*lane+1.3."""
+    from cadre_tpu.envs.route_fig import (
+        OUT_LEFT,
+        OUT_RIGHT,
+        outside_route_lanes,
+        signed_route_lateral,
+    )
+
+    route = np.stack([np.arange(50, dtype=np.float64),
+                      np.zeros(50)], axis=-1)
+    # +y is LEFT of travel (+x direction)
+    assert signed_route_lateral(route, (10.0, 2.0)) == pytest.approx(2.0)
+    assert signed_route_lateral(route, (10.0, -2.0)) == pytest.approx(-2.0)
+    assert not outside_route_lanes(OUT_LEFT - 0.01)
+    assert outside_route_lanes(OUT_LEFT + 0.01)
+    assert not outside_route_lanes(-(OUT_RIGHT - 0.01))
+    assert outside_route_lanes(-(OUT_RIGHT + 0.01))
+
+
+def test_theta_endgame_supplementary_angle():
+    """Two-waypoint endgame: the device theta must match the host
+    heading_error incl. the supplementary-angle flip (route_fig.py:149-153)
+    and the perpendicular-distance swap for `dis`."""
+    from cadre_tpu.envs.jax_env import _scalars
+    from cadre_tpu.envs.route_fig import TurnState, heading_error
+    from cadre_tpu.envs.route_fig import perpendicular_distance
+
+    # straight +x route; ego PAST the final nodes, heading +x: vector2
+    # points backwards -> host flips theta to pi - theta when rotated y>0
+    n = 60
+    route = np.zeros((n + 80, 2), np.float32)
+    route[:n, 0] = np.arange(n)
+    route[n:] = route[n - 1]
+    seg = np.hypot(*(np.diff(route[:n], axis=0).T))
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    cum /= cum[-1]
+    cums = np.ones(n + 80, np.float32)
+    cums[:n] = cum
+    bank = RouteBank(jnp.asarray(route)[None],
+                     jnp.asarray([n], np.int32),
+                     jnp.asarray(cums)[None],
+                     jnp.asarray(np.full((1, 8, 5), 1e8, np.float32)),
+                     jnp.asarray(np.full((1, 2, 5), 1e8, np.float32)),
+                     jnp.asarray(np.full((1, 40, 6), 1e8, np.float32)))
+    cfg = JaxEnvConfig(n_vehicles=0, n_walkers=0, render=False)
+    env = JaxDrivingEnv(bank, num_envs=1, config=cfg)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    # place the ego so only nodes {n-2, n-1} remain in the window, offset
+    # 1.2 m laterally, heading +x (yaw 0)
+    pos = np.asarray([n - 1.5, 1.2], np.float32)
+    state = state._replace(pos=jnp.asarray(pos)[None],
+                           yaw=jnp.zeros_like(state.yaw),
+                           head=jnp.full_like(state.head, n - 2))
+    scal = jax.vmap(lambda s: _scalars(cfg, bank, s))(state)
+    route_list = [route[n - 2], route[n - 1]]
+    ts = TurnState()
+    theta_h, _ = heading_error(route[n - 1], route[n - 2], pos,
+                               np.asarray([1.0, 0.0]), 2, ts, 0.0)
+    pep_h = perpendicular_distance(route_list, pos)
+    assert float(scal["theta"][0]) == pytest.approx(theta_h, abs=1e-5)
+    assert float(scal["dis"][0]) == pytest.approx(pep_h, abs=1e-5)

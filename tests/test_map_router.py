@@ -1,0 +1,95 @@
+"""Map-aware dense route tracing (cadre_tpu/envs/map_router.py) against the
+grid-town stub map — the dense-trace branch of carla_env._trace_route
+(route_manipulation.py:132-169) exercised in CI, with routes that actually
+turn at junctions (VERDICT r3 item 7)."""
+import sys
+
+import numpy as np
+import pytest
+
+from cadre_tpu.envs.map_router import MapRouter
+from cadre_tpu.envs.road_option import RoadOption
+from tests import carla_stub
+from tests.carla_stub import GridTownMap, Location
+
+
+def _pts(route):
+    return np.asarray([[wp.transform.location.x, wp.transform.location.y]
+                       for wp, _ in route])
+
+
+def test_grid_topology_builds():
+    m = GridTownMap()
+    topo = m.get_topology()
+    assert len(topo) > 20
+    # every edge densifies: begin.next() walks toward the end waypoint
+    begin, end = topo[0]
+    nxt = begin.next(1.0)
+    assert nxt and nxt[0].transform.location.distance(
+        begin.transform.location) == pytest.approx(1.0, abs=0.1)
+
+
+def test_trace_turns_left_at_junction():
+    """Eastbound approach -> northbound exit: the dense trace must round
+    the junction corner (not the straight chord) and carry a LEFT option
+    through the junction edge."""
+    m = GridTownMap()
+    router = MapRouter(m, 1.0)
+    route = router.trace_route(Location(-40.0, -1.75), Location(1.75, 60.0))
+    pts = _pts(route)
+    gaps = np.hypot(*np.diff(pts, axis=0).T)
+    assert gaps.max() < 3.0, "trace not dense"
+    opts = {opt for _, opt in route}
+    assert RoadOption.LEFT in opts
+    # rounds the corner: contains points on BOTH approach legs
+    on_east_leg = (np.abs(pts[:, 1] + 1.75) < 1.0) & (pts[:, 0] < -10.0)
+    on_north_leg = (np.abs(pts[:, 0] - 1.75) < 1.0) & (pts[:, 1] > 10.0)
+    assert on_east_leg.any() and on_north_leg.any()
+    # ...and never takes the straight chord between them (chord midpoint
+    # (-19, 29) is ~25 m from any road)
+    chord_mid = np.asarray([-19.0, 29.0])
+    assert np.hypot(*(pts - chord_mid).T).min() > 15.0
+
+
+def test_trace_straight_through_junction():
+    m = GridTownMap()
+    router = MapRouter(m, 1.0)
+    route = router.trace_route(Location(-40.0, -1.75),
+                               Location(60.0, -1.75))
+    opts = [opt for _, opt in route]
+    assert RoadOption.STRAIGHT in opts      # junction crossing
+    assert RoadOption.LEFT not in opts and RoadOption.RIGHT not in opts
+    pts = _pts(route)
+    assert np.abs(pts[:, 1] + 1.75).max() < 1.0   # stays on the lane
+
+
+def test_carla_env_dense_branch_turns(tmp_path, monkeypatch):
+    """CarlaDrivingEnv reset over GridTownMap runs the MAP-AWARE branch:
+    the interpolated route turns at the junction and the planner emits a
+    non-LANEFOLLOW command for it."""
+    mod = carla_stub.make_module()
+    monkeypatch.setitem(sys.modules, "carla", mod)
+    world = carla_stub.World("Town01", map_obj=GridTownMap())
+    carla_stub.Client._worlds = {8010: world}
+
+    from cadre_tpu.envs.carla_env import CarlaDrivingEnv
+
+    wps = "".join(f'<waypoint x="{x}" y="{y}" z="0"/>'
+                  for x, y in [(-40.0, -1.75), (1.75, 60.0)])
+    routes = tmp_path / "routes.xml"
+    routes.write_text(
+        f'<routes><route id="0" map="Town01">{wps}</route></routes>')
+    env = CarlaDrivingEnv(port=8010, routes_file=str(routes),
+                          training=True, client_timeout=5.0)
+    try:
+        env.reset()
+        pts = np.asarray([[tf.location.x, tf.location.y]
+                          for tf, _ in env._route_transforms])
+        opts = {opt for _, opt in env._route_transforms}
+        assert RoadOption.LEFT in opts
+        on_east = (np.abs(pts[:, 1] + 1.75) < 1.0) & (pts[:, 0] < -10.0)
+        on_north = (np.abs(pts[:, 0] - 1.75) < 1.0) & (pts[:, 1] > 10.0)
+        assert on_east.any() and on_north.any()
+    finally:
+        env.close()
+    carla_stub.Client._worlds = {}

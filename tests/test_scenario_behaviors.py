@@ -459,3 +459,129 @@ def test_handbrake_restores_ownership_truth():
     while hb2.tick(env):
         pass
     assert not ob2.managed
+
+
+def test_long_tail_proximity_conditions():
+    """WalkerCollision / HasBeenOccupied / TooFarAway / Rectify
+    (atomic_trigger_conditions.py:280-463)."""
+    from cadre_tpu.envs.scenarios import (
+        HasBeenOccupied,
+        Rectify,
+        TooFarAway,
+        WalkerCollision,
+    )
+
+    env = _env(lights=False)
+    walker = env.spawn_scenario_actor("walker", env._pos + [30, 30])
+    assert not WalkerCollision(walker)(env)
+    assert not HasBeenOccupied(walker)(env)
+    car = env.spawn_scenario_actor("vehicle", walker.pos + [1.5, 0.0])
+    assert WalkerCollision(walker)(env)          # vehicle within 2 m
+    assert HasBeenOccupied(walker)(env)          # anything within 5 m
+    assert not WalkerCollision(car)(env)         # walker doesn't count
+    assert TooFarAway(walker)(env)               # 42 m from the ego
+    near = env.spawn_scenario_actor("vehicle", env._pos + [5, 0])
+    assert not TooFarAway(near)(env)
+    status = [""]
+    assert Rectify(status, "msg")(env) and status[0] == "msg"
+
+
+def test_acceleration_and_time_of_day_conditions():
+    from cadre_tpu.envs.scenarios import (
+        TimeOfDayComparison,
+        TriggerAcceleration,
+    )
+
+    env = _env(lights=False)
+    ob = env.spawn_scenario_actor("vehicle", env._pos + [10, 0], speed=0.0)
+    cond = TriggerAcceleration(ob, 2.0)
+    assert not cond(env)                         # first sample primes
+    ob.speed = 1.0                               # 10 m/s^2 over one tick
+    assert cond(env)
+
+    # reset pre-fills the 8-frame history, so the sim clock starts ~0.8 s
+    t0 = env._step_count * env.dt
+    tod = TimeOfDayComparison(t0 + 0.5)
+    assert not tod(env)
+    for _ in range(6):
+        env.step([0.0, 0.0, 0.0])
+    assert tod(env)
+
+
+def test_route_relative_conditions():
+    """InTriggerDistanceToNextIntersection /
+    InTriggerDistanceToLocationAlongRoute
+    (atomic_trigger_conditions.py:838-929)."""
+    from cadre_tpu.envs.scenarios import (
+        InTriggerDistanceToLocationAlongRoute,
+        InTriggerDistanceToNextIntersection,
+        _route_corners,
+    )
+
+    env = _env(lights=False)
+    corners = _route_corners(np.asarray(env._route_xy))
+    assert len(corners) >= 1                     # 3-leg synthetic route
+    d0 = float(np.hypot(*(corners - env._pos).T).min())
+    assert InTriggerDistanceToNextIntersection("ego", d0 + 5.0)(env)
+    assert not InTriggerDistanceToNextIntersection("ego", d0 - 5.0)(env)
+
+    dense = np.asarray(env._route_xy)
+    ahead = dense[min(15, len(dense) - 1)]       # 15 m along the route
+    cond = InTriggerDistanceToLocationAlongRoute("ego", ahead, 20.0)
+    assert cond(env)
+    far = dense[min(45, len(dense) - 1)]
+    assert not InTriggerDistanceToLocationAlongRoute("ego", far, 20.0)(env)
+
+
+def test_cut_in_conditions():
+    """WaitUntilInFront / InTimeToArrivalToVehicleSideLane
+    (atomic_trigger_conditions.py:1059-1206)."""
+    from cadre_tpu.envs.scenarios import (
+        InTimeToArrivalToVehicleSideLane,
+        WaitUntilInFront,
+    )
+
+    env = _env(lights=False)
+    other = env.spawn_scenario_actor("vehicle", env._pos + [10, 0],
+                                     heading=0.0)
+    behind = env.spawn_scenario_actor("vehicle", env._pos + [2, 0],
+                                      heading=0.0)
+    front = env.spawn_scenario_actor("vehicle", other.pos + [8, 0],
+                                     heading=0.0)
+    assert WaitUntilInFront(front, other)(env)
+    assert not WaitUntilInFront(behind, other)(env)
+
+    # closing on the other's LEFT lane point (side_lane='right' quirk)
+    chaser = env.spawn_scenario_actor(
+        "vehicle", other.pos + [-3.5, 3.5], heading=0.0, speed=6.0)
+    assert InTimeToArrivalToVehicleSideLane(chaser, other, 3.0, "right")(env)
+    assert not InTimeToArrivalToVehicleSideLane(chaser, other, 0.2,
+                                                "right")(env)
+
+
+def test_blackboard_and_recorder_behaviors():
+    from cadre_tpu.envs.scenarios import (
+        SetBlackboardVariableBehavior,
+        StartRecorderBehavior,
+        StopRecorderBehavior,
+        WaitForBlackboardVariable,
+    )
+
+    env = _env(lights=False)
+    cond = WaitForBlackboardVariable("flag")
+    assert not cond(env)
+    assert not SetBlackboardVariableBehavior("flag").tick(env)
+    assert cond(env)
+
+    class _Client:
+        def start_recorder(self, name):
+            self.recorder_file = name
+
+        def stop_recorder(self):
+            self.recorder_file = None
+
+    env.client = _Client()
+    assert not StartRecorderBehavior("ep0.log").tick(env)
+    assert env.client.recorder_file == "ep0.log"
+    assert not StopRecorderBehavior().tick(env)
+    assert env.client.recorder_file is None

@@ -102,6 +102,12 @@ def main():
                    help="zoo model name: danet | vanilla_vae | beta_vae | "
                         "da_beta_vae | old_vae | oldv2_vae | unet | "
                         "att_unet | r2_unet | r2att_unet | nested_unet")
+    p.add_argument("--balance", action="store_true",
+                   help="class-balanced epoch resampling: oversample rare "
+                        "light-state classes and walker-visible frames "
+                        "(repeat cap 8x) on top of the per-class CE "
+                        "weights — the collection-side half of the "
+                        "reference's imbalance handling")
     p.add_argument("--holdout", action="store_true",
                    help="hold out the last shard and report per-class "
                         "seg/light accuracy tables after training "
@@ -144,10 +150,12 @@ def main():
         from cadre_tpu.envs.sim_env import SimDrivingEnv
 
         # phase-balanced light cycle (red is 0.5 s of the 8.5 s RL cycle —
-        # unbalanced labels starve the light head's red class) and a slow
-        # traffic mix so the expert closes in on cars for seg-class support
+        # unbalanced labels starve the light head's red class), a slow
+        # traffic mix so the expert closes in on cars for seg-class
+        # support, and doubled walkers so walker seg pixels have enough
+        # holdout support (round-3 walker class sat at .356)
         env = SimDrivingEnv(seed=args.seed, seq_length=2,
-                            vehicle_num=(8, 4), randomize_weather=True,
+                            vehicle_num=(8, 8), randomize_weather=True,
                             light_times=(3.0, 3.0, 3.0),
                             npc_cruise=(1.5, 5.0))
         collect_dataset(env, OracleExpert(), args.collect, args.data_dir,
@@ -167,7 +175,8 @@ def main():
     loader = PerceptionDataLoader(train_paths, batch_size=args.batch_size,
                                   seed=args.seed, augment=host_augment,
                                   packed=args.packed,
-                                  cache_in_memory=args.cache)
+                                  cache_in_memory=args.cache,
+                                  balance=args.balance)
     stats = compute_stats(loader.paths)
     small = dict(da_feature_channel=64, inter_att_dims=48, z_dims=32) \
         if args.small else {}
@@ -184,7 +193,8 @@ def main():
                                       batch_size=args.batch_size,
                                       seed=args.seed,
                                       augment=args.augment,
-                                      cache_in_memory=args.cache)
+                                      cache_in_memory=args.cache,
+                                      balance=args.balance)
         _train_distributed(args, loader, stats, holdout_paths,
                            danet_params(**small), tp)
         return
