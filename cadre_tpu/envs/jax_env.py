@@ -53,7 +53,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -245,35 +245,66 @@ def make_route_bank(n_routes: int, seed: int = 0, route_legs: int = 3,
                     max_stop_signs: int = 2,
                     stop_sign_prob: float = 0.0,
                     max_props: int = 40,
-                    with_props: bool = True) -> RouteBank:
+                    with_props: bool = True,
+                    map_name: Optional[str] = None,
+                    dense_routes: Optional[Sequence[np.ndarray]] = None
+                    ) -> RouteBank:
     """Host-side episode-bank builder (same synthetic-route generator and
     corner-light synthesizer as SimDrivingEnv._world_reset).
 
     With `routes_file`, the bank holds the route XML's trajectories (e.g.
     the reference NoCrash routes) instead of synthetic ones; `n_routes`
-    caps how many are taken. `stop_sign_prob` > 0 converts that fraction
-    of corner lights into stop signs (trigger bbox straddling the stop
-    line, RunningStopTest geometry) instead."""
+    caps how many are taken. With `map_name` too, the XML keypoints are
+    traced over the approximate town road grid (envs/town_maps.py) so the
+    dense routes turn at the town's junctions — the interpolate_trajectory
+    analog (route_manipulation.py:132-169) — instead of straight-line
+    interpolation. `dense_routes` bypasses route generation entirely with
+    pre-traced [N,2] polylines. `stop_sign_prob` > 0 converts that
+    fraction of corner lights into stop signs (trigger bbox straddling
+    the stop line, RunningStopTest geometry) instead."""
     from cadre_tpu.envs.route_parser import interpolate_route
 
     rng = np.random.RandomState(seed)
+    pre_traced = dense_routes is not None
     keypoints = []
-    if routes_file is not None:
+    if pre_traced:
+        keypoints = [np.asarray(d, np.float64)
+                     for d in dense_routes[:n_routes]]
+    elif routes_file is not None:
         from cadre_tpu.envs.route_parser import parse_routes_file
 
         for cfg in parse_routes_file(routes_file)[:n_routes]:
             keypoints.append(np.asarray([w.xy for w in cfg.trajectory]))
         if not keypoints:
             raise ValueError(f"no routes in {routes_file}")
+        if map_name is not None:
+            from cadre_tpu.envs.town_maps import (
+                town_map,
+                trace_dense_route,
+            )
+
+            tmap = town_map(map_name)
+            keypoints = [trace_dense_route(tmap, kp) for kp in keypoints]
+            pre_traced = True
     else:
         keypoints = [synthetic_route(rng, n_legs=route_legs,
                                      leg_len=route_leg_len)
                      for _ in range(n_routes)]
+    n_routes = len(keypoints)
 
     dense_list, lights_list, signs_list, props_list = [], [], [], []
     for pts in keypoints:
         dense = interpolate_route(pts, resolution=1.0)
         dense_list.append(dense)
+        if pre_traced:
+            # corner-light synthesis needs LEG keypoints, not the dense
+            # trace (per-meter heading deltas never clear min_turn_deg):
+            # rebuild [start, corners..., end] from the traced polyline
+            from cadre_tpu.envs.scenarios import _route_corners
+
+            corners = _route_corners(dense)
+            pts = np.concatenate([dense[:1], corners, dense[-1:]]) \
+                if len(corners) else np.stack([dense[0], dense[-1]])
         lights = lights_at_route_corners(pts, dense, rng)
         arr = np.full((max_lights, 5), _FAR, np.float32)
         signs = np.full((max_stop_signs, 5), _FAR, np.float32)
@@ -971,13 +1002,18 @@ def _render_rgb(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
 # ---------------------------------------------------------------- lifecycle
 
 def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key,
-               prio: Optional[jnp.ndarray] = None) -> JaxEnvState:
-    """Fresh episode (SimDrivingEnv._world_reset over the device bank)."""
+               prio: Optional[jnp.ndarray] = None,
+               force_route: Optional[jnp.ndarray] = None) -> JaxEnvState:
+    """Fresh episode (SimDrivingEnv._world_reset over the device bank).
+    `force_route` pins the episode to one route id (the sequential
+    RouteIndexer eval semantics, route_indexer.py:6-41)."""
     k_route, k_obs, k_weather, k_state = jax.random.split(key, 4)
     n_routes = bank.routes.shape[0]
     if prio is None:
         prio = jnp.full((n_routes,), 100.0, jnp.float32)
-    if cfg.priority_routes:
+    if force_route is not None:
+        route_id = jnp.asarray(force_route, jnp.int32)
+    elif cfg.priority_routes:
         # PriorityRouteIndexer.next (priority_route_indexer.py:51-61):
         # 20% uniform, else softmax over priority = 100 - completion%
         k_eps, k_soft, k_uni = jax.random.split(k_route, 3)
@@ -1154,11 +1190,7 @@ class JaxDrivingEnv:
         self.cfg = config
         cfg = config
 
-        def _reset(key):
-            keys = jax.random.split(key, num_envs)
-            state = jax.vmap(lambda k: _plan_pop(
-                cfg, bank, _reset_one(cfg, bank, k)))(keys)
-
+        def _obs(state):
             def obs_one(s):
                 rng, k_noise = jax.random.split(s.rng)
                 s = s._replace(rng=rng)
@@ -1169,9 +1201,24 @@ class JaxDrivingEnv:
 
             return jax.vmap(obs_one)(state)
 
+        def _reset(key):
+            keys = jax.random.split(key, num_envs)
+            state = jax.vmap(lambda k: _plan_pop(
+                cfg, bank, _reset_one(cfg, bank, k)))(keys)
+            return _obs(state)
+
+        def _reset_routes(key, route_ids):
+            # sequential-RouteIndexer eval: env i pinned to route_ids[i]
+            keys = jax.random.split(key, num_envs)
+            state = jax.vmap(lambda k, r: _plan_pop(
+                cfg, bank, _reset_one(cfg, bank, k, force_route=r)))(
+                    keys, jnp.asarray(route_ids, jnp.int32))
+            return _obs(state)
+
         def _step(state, controls):
             return jax.vmap(lambda s, c: _step_one(cfg, bank, s, c))(
                 state, controls)
 
         self.reset = jax.jit(_reset)
+        self.reset_routes = jax.jit(_reset_routes)
         self.step = jax.jit(_step)

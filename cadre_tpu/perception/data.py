@@ -298,7 +298,12 @@ class PerceptionDataLoader:
         ls = z["light_state"][:n].astype(np.int64)
         counts = np.bincount(ls, minlength=4).astype(np.float64)
         tgt = counts.max()
-        factor = np.minimum(np.ceil(tgt / np.maximum(counts, 1.0)), 8.0)
+        # sqrt-tempered factors: full equalization inflates the epoch ~2.7x
+        # on the rebalanced dataset (red is already ~13% after the
+        # light-wait collection exemption) for no extra signal — the
+        # inverse-frequency CE weights carry the remaining imbalance
+        factor = np.minimum(
+            np.ceil(np.sqrt(tgt / np.maximum(counts, 1.0))), 8.0)
         rep = factor[ls]
         seg = z["camera_seg"]
         has_walker = (np.asarray(seg[:n]) == 3).any(axis=(1, 2))

@@ -28,10 +28,16 @@ from cadre_tpu.rl.agent import CadreAgent, EnsembleAgent, latent_features, \
 
 def evaluate_device(agent: CadreAgent, env: JaxDrivingEnv,
                     snapshot_paths: Sequence[str], max_steps: int = 2000,
-                    seed: int = 0, seq_length: Optional[int] = None
+                    seed: int = 0, seq_length: Optional[int] = None,
+                    route_ids: Optional[Sequence[int]] = None
                     ) -> List[dict]:
     """Run `max_steps` batched ensemble steps; returns one dict per finished
-    episode: {completion, error, steps}."""
+    episode: {completion, error, steps}.
+
+    With `route_ids` (len == env.num_envs), env i is pinned to that route
+    and only its FIRST finished episode is reported — the sequential
+    RouteIndexer eval protocol (route_indexer.py:6-41, one episode per
+    eval route), with `route_id` added to each row."""
     if env.cfg.training:
         # Structural eval-hygiene lock: the eval protocol is ALWAYS
         # eval-mode (no overspeed/static-collision early termination,
@@ -97,7 +103,11 @@ def evaluate_device(agent: CadreAgent, env: JaxDrivingEnv,
                      out.infractions))
 
         k0, k1 = jax.random.split(key)
-        env_state, obs = env.reset(k0)
+        if route_ids is not None:
+            env_state, obs = env.reset_routes(
+                k0, jnp.asarray(route_ids, jnp.int32))
+        else:
+            env_state, obs = env.reset(k0)
         feat_hist = jnp.broadcast_to(encode(obs)[None], (seq, n, f))
         carry = (env_state, obs, feat_hist, jnp.zeros((n,), bool))
         _, ys = jax.lax.scan(step_fn, carry,
@@ -114,19 +124,26 @@ def evaluate_device(agent: CadreAgent, env: JaxDrivingEnv,
     penalty_by_code = {1: 0.65, 2: 0.60, 3: 0.50}
     episodes = []
     start = np.zeros(n, np.int64)
+    finished = np.zeros(n, bool)
     for t in range(max_steps):
         for i in np.nonzero(done[t])[0]:
+            if route_ids is not None and finished[i]:
+                continue       # sequential protocol: one episode per route
+            finished[i] = True
             code = int(err[t, i])
             comp = float(completion[t, i])
             n_red = int(infractions[t, i, 0])
             n_stop = int(infractions[t, i, 1])
             pen = (penalty_by_code.get(code, 1.0)
                    * 0.70 ** n_red * 0.80 ** n_stop)
-            episodes.append(dict(
+            row = dict(
                 completion=comp,
                 error=ERROR_CODES.get(code, str(code)),
                 steps=int(t - start[i]),
                 red_lights=n_red, stops=n_stop,
-                driving_score=100.0 * comp * pen))
+                driving_score=100.0 * comp * pen)
+            if route_ids is not None:
+                row["route_id"] = int(route_ids[i])
+            episodes.append(row)
             start[i] = t
     return episodes

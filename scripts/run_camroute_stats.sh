@@ -11,7 +11,7 @@
 # eval_agent_config.py:51-57). Pre-registered primary metric: ensemble
 # mean driving score (same registration as BENCH_r3_cascade_stats.json).
 # Trained arm uses the SAME camroute-pretrained encoder as the round-3
-# single-seed runs (/tmp/device_scale/enc/net_epoch24.msgpack) for
+# single-seed runs (/tmp/device_scale/enc/net_epoch17.msgpack) for
 # comparability. Results append to /tmp/device_scale/camstats/; assemble
 # with scripts/assemble_cascade_stats.py --statsdir ... Idempotent
 # per-seed; re-launch to resume. Blocks on the shared scale lock.
@@ -26,7 +26,7 @@ S=$W/camstats
 mkdir -p "$S"
 exec 9>"$W/.lock"
 flock 9 || exit 1
-ENC="$W/enc/net_epoch24.msgpack"
+ENC="$W/enc/net_epoch17.msgpack"
 [ -f "$ENC" ] || { echo "ENCODER_MISSING $ENC"; exit 1; }
 {
   date

@@ -1,0 +1,60 @@
+#!/bin/bash
+# Round-4 experiment chain, one flock holder so ordering is deterministic:
+#   1. encoders (skipped when run_r4_encoders.sh already built them)
+#   2. NoCrash eval protocol (VERDICT r3 item 3) -> BENCH_r4_nocrash.json
+#   3. camroute trained-vs-random stats grid (VERDICT r3 item 1 follow-up)
+#      -> BENCH_r4_camroute_stats.json
+set -x
+export PATH=/opt/venv/bin:$PATH
+export PYTHONPATH=/root/repo:/root/.axon_site
+export PYTHONUNBUFFERED=1
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+cd /root/repo
+W=/tmp/device_scale
+mkdir -p "$W"
+exec 9>"$W/.lock"
+flock 9 || exit 1
+{
+  date
+  for mode in camroute std; do
+    if [ "$mode" = camroute ]; then DIR="$W/enc"; EXTRA="--camroute"; else DIR="$W/enc_std_bal"; EXTRA=""; fi
+    [ -f "$DIR/net_epoch17.msgpack" ] && continue
+    timeout 7200 python train_perception.py --data-dir /tmp/pdata \
+        --epochs 18 $EXTRA --holdout --packed --cache --balance \
+        --batch-size 48 --save-interval 18 --work-dir "$DIR"
+    echo "ENC_${mode}_DONE"; date
+  done
+
+  # ---- NoCrash protocol (train on Town01 train XMLs, ensemble eval on
+  # the reference Town01/Town02 eval XMLs over the town grids) ----
+  if [ ! -f BENCH_r4_nocrash.json ]; then
+    timeout 5400 python scripts/run_nocrash_eval.py \
+        --encoder "$W/enc_std_bal/net_epoch17.msgpack" \
+        --workdir "$W/nocrash" --out BENCH_r4_nocrash.json \
+      || timeout 3600 python scripts/run_nocrash_eval.py \
+        --encoder "$W/enc_std_bal/net_epoch17.msgpack" \
+        --workdir "$W/nocrash" --out BENCH_r4_nocrash.json --eval-only
+    echo NOCRASH_DONE; date
+  fi
+
+  # ---- camroute stats grid (5 seeds x trained/random, idempotent) ----
+  ENC="$W/enc/net_epoch17.msgpack"
+  S=$W/camstats
+  mkdir -p "$S"
+  for seed in 0 1 2 3 4; do
+    for arm in trained random; do
+      if [ "$arm" = trained ]; then EXTRA="--encoder $ENC"; else EXTRA=""; fi
+      OUT="$S/${arm}_s${seed}.json"
+      [ -f "$OUT" ] && continue
+      timeout 3600 python scripts/run_device_scale.py \
+          --iterations 750 --snap-every 125 --eval-members 6 \
+          --camroute --seed $seed $EXTRA \
+          --workdir "$S/${arm}_s${seed}" --out "$OUT" \
+          || echo "RUN_${arm}_s${seed}_FAILED"
+      echo "RUN_${arm}_s${seed}_DONE"; date
+      python scripts/assemble_cascade_stats.py --statsdir "$S" \
+          --out BENCH_r4_camroute_stats.json || true
+    done
+  done
+  echo R4_CHAIN_DONE
+} >> "$W/chain.log" 2>&1

@@ -18,10 +18,10 @@ flock 9 || exit 1
   date
   for mode in camroute std; do
     if [ "$mode" = camroute ]; then DIR="$W/enc"; EXTRA="--camroute"; else DIR="$W/enc_std_bal"; EXTRA=""; fi
-    [ -f "$DIR/net_epoch24.msgpack" ] && continue
-    timeout 5400 python train_perception.py --data-dir /tmp/pdata \
-        --epochs 25 $EXTRA --holdout --packed --cache --balance \
-        --batch-size 48 --save-interval 25 --work-dir "$DIR"
+    [ -f "$DIR/net_epoch17.msgpack" ] && continue
+    timeout 7200 python train_perception.py --data-dir /tmp/pdata \
+        --epochs 18 $EXTRA --holdout --packed --cache --balance \
+        --batch-size 48 --save-interval 18 --work-dir "$DIR"
     echo "ENC_${mode}_DONE"
     date
   done

@@ -368,165 +368,13 @@ class Map:
                            49.0 + location.x / GPS_S, location.z)
 
 
-class _LaneEdge:
-    """Dense directed lane polyline for GridTownMap topology."""
-
-    def __init__(self, pts, junction):
-        self.pts = np.asarray(pts, np.float64)
-        seg = np.diff(self.pts, axis=0)
-        self.cum = np.concatenate(
-            [[0.0], np.cumsum(np.hypot(seg[:, 0], seg[:, 1]))])
-        self.length = float(self.cum[-1])
-        self.junction = junction
-        self.successors = []
-
-    def point(self, s):
-        s = min(max(s, 0.0), self.length)
-        i = int(np.searchsorted(self.cum, s, side="right")) - 1
-        i = min(max(i, 0), len(self.pts) - 2)
-        seg = self.pts[i + 1] - self.pts[i]
-        n = math.hypot(seg[0], seg[1])
-        t = (s - self.cum[i]) / n if n > 1e-9 else 0.0
-        pos = self.pts[i] + t * seg
-        yaw = math.degrees(math.atan2(seg[1], seg[0]))
-        return pos, yaw
-
-
-class GridWaypoint:
-    """carla.Waypoint over a _LaneEdge at arclength s."""
-
-    def __init__(self, world_map, edge, s):
-        self._map = world_map
-        self._edge = edge
-        self._s = float(s)
-        pos, yaw = edge.point(s)
-        self.transform = Transform(Location(float(pos[0]), float(pos[1]),
-                                            0.0), Rotation(yaw=yaw))
-        self.road_id = id(edge) & 0xFFFF
-        self.lane_id = -1
-        self.lane_width = 3.5
-        self.is_junction = edge.junction
-        self.is_intersection = edge.junction
-
-    def next(self, dist):
-        s2 = self._s + dist
-        if s2 <= self._edge.length:
-            return [GridWaypoint(self._map, self._edge, s2)]
-        return [GridWaypoint(self._map, e2, 0.0)
-                for e2 in self._edge.successors]
-
-
-class GridTownMap:
-    """Grid-road town: right-hand two-lane roads along given x/y lines,
-    junction connectors (straight / left / right quadratic arcs) where they
-    cross. Exposes the lane-topology subset of the carla.Map API
-    (`get_topology`, `waypoint.next`) that cadre_tpu.envs.map_router needs,
-    so the env's dense-trace branch runs in CI with routes that actually
-    turn at junctions."""
-
-    LANE_OFF = 1.75            # lane-center offset right of travel
-
-    def __init__(self, name="GridTown", xs=(0.0, 120.0), ys=(0.0, 120.0),
-                 half=8.0, ext=50.0):
-        self.name = name
-        self._edges = []
-
-        def lane(p0, p1):
-            """Straight directed lane p0->p1 offset to the right."""
-            p0, p1 = np.asarray(p0, float), np.asarray(p1, float)
-            d = p1 - p0
-            n = math.hypot(d[0], d[1])
-            d = d / n
-            right = np.asarray([d[1], -d[0]])
-            off = self.LANE_OFF * right
-            self._edges.append(_LaneEdge([p0 + off, p1 + off], False))
-
-        xs, ys = sorted(xs), sorted(ys)
-        for y in ys:                                   # horizontal roads
-            stops = [xs[0] - ext] + [v for x in xs
-                                     for v in (x - half, x + half)] \
-                + [xs[-1] + ext]
-            for a, b in zip(stops[:-1], stops[1:]):
-                if any(abs((a + b) / 2 - x) < half for x in xs):
-                    continue                           # junction interior
-                lane((a, y), (b, y))
-                lane((b, y), (a, y))
-        for x in xs:                                   # vertical roads
-            stops = [ys[0] - ext] + [v for y in ys
-                                     for v in (y - half, y + half)] \
-                + [ys[-1] + ext]
-            for a, b in zip(stops[:-1], stops[1:]):
-                if any(abs((a + b) / 2 - y) < half for y in ys):
-                    continue
-                lane((x, a), (x, b))
-                lane((x, b), (x, a))
-
-        # junction connectors: join every lane ending on a junction edge to
-        # every lane starting on it, except the U-turn
-        for cx in xs:
-            for cy in ys:
-                c = np.asarray([cx, cy])
-                bound = half + self.LANE_OFF + 0.5
-                ins = [e for e in self._edges if not e.junction and
-                       np.abs(e.pts[-1] - c).max() <= bound]
-                outs = [e for e in self._edges if not e.junction and
-                        np.abs(e.pts[0] - c).max() <= bound]
-                for ei in ins:
-                    de = ei.pts[-1] - ei.pts[-2]
-                    de /= math.hypot(*de)
-                    for eo in outs:
-                        do = eo.pts[1] - eo.pts[0]
-                        do /= math.hypot(*do)
-                        if float(de @ do) < -0.9:
-                            continue                   # no U-turns
-                        self._edges.append(_LaneEdge(
-                            self._bezier(ei.pts[-1], de, eo.pts[0], do),
-                            True))
-
-        # successor wiring by endpoint coincidence
-        for e in self._edges:
-            e.successors = [e2 for e2 in self._edges if e2 is not e and
-                            math.dist(e2.pts[0], e.pts[-1]) < 0.6]
-
-    @staticmethod
-    def _bezier(pe, de, px, dx, n=12):
-        """Quadratic bezier pe->px with the control point at the ray
-        intersection (straight-through degenerates to the chord)."""
-        cross = de[0] * dx[1] - de[1] * dx[0]
-        if abs(cross) < 1e-6:
-            ctrl = (pe + px) / 2.0
-        else:
-            rel = px - pe
-            t = (rel[0] * dx[1] - rel[1] * dx[0]) / cross
-            ctrl = pe + t * de
-        ts = np.linspace(0.0, 1.0, n)[:, None]
-        return (1 - ts) ** 2 * pe + 2 * ts * (1 - ts) * ctrl + ts ** 2 * px
-
-    # -- carla.Map api --
-    def get_topology(self):
-        return [(GridWaypoint(self, e, 0.0), GridWaypoint(self, e, e.length))
-                for e in self._edges]
-
-    def get_waypoint(self, location, project_to_road=True, lane_type=None):
-        p = np.asarray([location.x, location.y])
-        best, best_d, best_s = None, float("inf"), 0.0
-        for e in self._edges:
-            d2 = ((e.pts - p) ** 2).sum(axis=1)
-            i = int(np.argmin(d2))
-            d = math.sqrt(float(d2[i]))
-            if d < best_d:
-                best, best_d, best_s = e, d, float(e.cum[i])
-        if best is None or (not project_to_road and best_d > 5.0):
-            return None
-        return GridWaypoint(self, best, best_s)
-
-    def get_spawn_points(self):
-        return [GridWaypoint(self, e, e.length / 2).transform
-                for e in self._edges if not e.junction][:10]
-
-    def transform_to_geolocation(self, location):
-        return GeoLocation(49.0 - location.y / GPS_S,
-                           49.0 + location.x / GPS_S, location.z)
+# Grid-road town map with real lane topology — framework implementation
+# (cadre_tpu/envs/town_maps.py); re-exported here so contract tests build
+# worlds whose dense-trace branch runs against it.
+from cadre_tpu.envs.town_maps import (  # noqa: E402,F401
+    GridTownMap,
+    GridWaypoint,
+)
 
 
 class _Timestamp:
