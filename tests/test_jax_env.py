@@ -387,3 +387,19 @@ def test_theta_endgame_supplementary_angle():
     pep_h = perpendicular_distance(route_list, pos)
     assert float(scal["theta"][0]) == pytest.approx(theta_h, abs=1e-5)
     assert float(scal["dis"][0]) == pytest.approx(pep_h, abs=1e-5)
+
+
+def test_reset_routes_pins_sequential_eval_routes():
+    """reset_routes pins env i to route_ids[i] — the sequential
+    RouteIndexer eval semantics (route_indexer.py:6-41) used by the
+    NoCrash protocol driver."""
+    bank = make_route_bank(4, seed=5)
+    env = JaxDrivingEnv(bank, num_envs=4,
+                        config=JaxEnvConfig(training=False, render=False,
+                                            n_vehicles=0, n_walkers=0))
+    ids = np.asarray([3, 1, 0, 2])
+    state, obs = env.reset_routes(jax.random.PRNGKey(0), ids)
+    assert (np.asarray(state.route_id) == ids).all()
+    # each env starts at ITS route's first waypoint
+    starts = np.asarray(bank.routes)[ids, 0]
+    np.testing.assert_allclose(np.asarray(state.pos), starts, atol=1e-4)
