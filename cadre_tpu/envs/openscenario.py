@@ -1,18 +1,38 @@
-"""Minimal OpenSCENARIO (.xosc) reader for the simulator.
+"""OpenSCENARIO (.xosc) reader for the simulator.
 
 The reference vendors a full OpenSCENARIO parser
 (scenario_runner/srunner/tools/openscenario_parser.py, ~1,061 LoC) that
 converts XOSC documents into CARLA py_trees behaviors; the CADRE training
-path never uses it. This module provides the capability at the scale the
-rest of this framework operates: the ASAM OpenSCENARIO 1.0 subset that maps
-onto our tick-driven behavior primitives (envs/scenarios.py) —
+path never uses it. This module provides the ASAM OpenSCENARIO 1.0 subset
+that maps onto our tick-driven behavior primitives (envs/scenarios.py):
 
+  ParameterDeclarations + $refs .......... attribute substitution
   Entities/ScenarioObject ................ actor roster
   Init TeleportAction (WorldPosition) .... actor spawn pose
-  Init/Event SpeedAction ................. KeepVelocityBehavior
+  Init/Event SpeedAction (abs/relative) .. KeepVelocityBehavior
   LateralAction/LaneChangeAction ......... LaneChangeBehavior
+  TeleportAction (storyboard) ............ ActorTransformSetterBehavior
+  ActivateControllerAction ............... ChangeAutoPilotBehavior
+  TrafficSignalStateAction ............... TrafficLightStateSetterBehavior
+  EnvironmentAction/Weather .............. env weather preset switch
   StartTrigger SimulationTimeCondition ... time trigger (at_tick)
   StartTrigger ReachPositionCondition .... distance trigger (pos)
+  StandStillCondition .................... StandStill
+  TraveledDistanceCondition .............. DriveDistance
+  SpeedCondition ......................... TriggerVelocity
+  (Relative)DistanceCondition ............ InTriggerDistanceToVehicle
+  TimeToCollisionCondition ............... InTimeToArrivalToVehicle
+  StoryboardElementStateCondition ........ blackboard completion flags
+  Event StopTrigger ...................... Parallel(success_on_one) wrap
+
+Every fired event sets the blackboard flag `xosc:<event>:done` on
+completion, which is what StoryboardElementStateCondition reads — the
+py_trees OneShot/element-status machinery reduced to our blackboard.
+
+Out of scope (openscenario_parser.py features with no synthetic-world
+counterpart, closed in PARITY.md): catalogs, controller/actorcontrols
+plugin dispatch, road-network LanePosition/RoutePosition coordinates,
+TimeOfDay animation, and traffic-definition swarms.
 
 `load_openscenario(path)` -> OpenScenarioConfig;
 `build_manager(cfg, env)` spawns the actors into a SimDrivingEnv-compatible
@@ -28,10 +48,23 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 from cadre_tpu.envs.scenarios import (
+    ActorTransformSetterBehavior,
+    ChangeAutoPilotBehavior,
+    ConditionBehavior,
+    DriveDistance,
+    InTimeToArrivalToVehicle,
+    InTriggerDistanceToVehicle,
     KeepVelocityBehavior,
     LaneChangeBehavior,
+    ParallelBehavior,
     ScenarioManager,
     ScenarioTrigger,
+    SequenceBehavior,
+    SetBlackboardVariableBehavior,
+    StandStill,
+    TrafficLightStateSetterBehavior,
+    TriggerVelocity,
+    WaitForBlackboardVariable,
 )
 
 
@@ -47,17 +80,39 @@ class OscEntity:
 @dataclasses.dataclass
 class OscEvent:
     entity: str
-    action: str                    # 'speed' | 'lane_change'
+    action: str                    # 'speed' | 'lane_change' | 'teleport' |
+    #                                'controller' | 'signal' | 'weather'
     value: float                   # target speed / lane offset (meters)
     at_time: Optional[float] = None      # SimulationTimeCondition (s)
     at_pos: Optional[np.ndarray] = None  # ReachPositionCondition
-    tolerance: Optional[float] = None    # ReachPositionCondition tolerance (m)
+    tolerance: Optional[float] = None    # ReachPositionCondition tolerance
+    name: str = ""
+    cond: Optional[dict] = None          # generic start condition spec
+    stop: Optional[dict] = None          # StopTrigger condition spec
+    extra: Optional[dict] = None         # action-specific payload
 
 
 @dataclasses.dataclass
 class OpenScenarioConfig:
     entities: Dict[str, OscEntity]
     events: List[OscEvent]
+
+
+def _apply_parameters(root) -> None:
+    """ParameterDeclarations + $name attribute substitution (the reference
+    parser's get_parameter handling, openscenario_parser.py)."""
+    params: Dict[str, str] = {}
+    for decl in root.iterfind(".//ParameterDeclarations/ParameterDeclaration"):
+        name = decl.get("name", "")
+        params[name.lstrip("$")] = decl.get("value", "")
+    if not params:
+        return
+    for el in root.iter():
+        for key, val in list(el.attrib.items()):
+            if isinstance(val, str) and val.startswith("$"):
+                ref = val[1:]
+                if ref in params:
+                    el.set(key, params[ref])
 
 
 def _world_position(node) -> tuple:
@@ -68,13 +123,130 @@ def _world_position(node) -> tuple:
     return pos, float(wp.get("h", 0))
 
 
-def _speed_target(node) -> Optional[float]:
+def _speed_target(node):
+    """(value, relative_entity or None)."""
     tgt = node.find(".//AbsoluteTargetSpeed")
-    return float(tgt.get("value")) if tgt is not None else None
+    if tgt is not None:
+        return float(tgt.get("value")), None
+    rel = node.find(".//RelativeTargetSpeed")
+    if rel is not None:
+        return float(rel.get("value", 0)), rel.get("entityRef")
+    return None, None
+
+
+def _entity_condition(cond_node) -> Optional[dict]:
+    """ByEntityCondition subset -> condition spec dict."""
+    ent_ref = cond_node.find(".//TriggeringEntities/EntityRef")
+    who = ent_ref.get("entityRef") if ent_ref is not None else None
+    ec = cond_node.find(".//EntityCondition")
+    if ec is None:
+        return None
+    reach = ec.find("ReachPositionCondition")
+    if reach is not None:
+        pos, _ = _world_position(reach)
+        tol = reach.get("tolerance")
+        return dict(type="reach", entity=who, pos=pos,
+                    tolerance=float(tol) if tol else None)
+    ss = ec.find("StandStillCondition")
+    if ss is not None:
+        return dict(type="standstill", entity=who,
+                    duration=float(ss.get("duration", 1.0)))
+    td = ec.find("TraveledDistanceCondition")
+    if td is not None:
+        return dict(type="traveled", entity=who,
+                    value=float(td.get("value", 0)))
+    sp = ec.find("SpeedCondition")
+    if sp is not None:
+        return dict(type="speed", entity=who,
+                    value=float(sp.get("value", 0)))
+    for tag in ("RelativeDistanceCondition", "DistanceCondition"):
+        dc = ec.find(tag)
+        if dc is not None:
+            return dict(type="distance", entity=who,
+                        other=dc.get("entityRef"),
+                        value=float(dc.get("value", 0)))
+    ttc = ec.find("TimeToCollisionCondition")
+    if ttc is not None:
+        other = ttc.find(".//EntityRef")
+        return dict(type="ttc", entity=who,
+                    other=other.get("entityRef") if other is not None
+                    else None,
+                    value=float(ttc.get("value", 0)))
+    return None
+
+
+def _parse_trigger(trigger_node) -> Optional[dict]:
+    """First supported Condition under a Start/StopTrigger -> spec dict."""
+    if trigger_node is None:
+        return None
+    st = trigger_node.find(".//SimulationTimeCondition")
+    if st is not None:
+        return dict(type="time", value=float(st.get("value", 0)))
+    el = trigger_node.find(".//StoryboardElementStateCondition")
+    if el is not None:
+        return dict(type="element_state",
+                    ref=el.get("storyboardElementRef", ""),
+                    state=el.get("state", "completeState"))
+    for cond in trigger_node.iterfind(".//Condition"):
+        by_ent = cond.find("ByEntityCondition")
+        if by_ent is not None:
+            spec = _entity_condition(by_ent)
+            if spec is not None:
+                return spec
+    return None
+
+
+def _parse_action(action, default_entity) -> Optional[OscEvent]:
+    speed = action.find(".//SpeedAction")
+    lane = action.find(".//LaneChangeAction")
+    tele = action.find(".//TeleportAction")
+    ctrl = action.find(".//ActivateControllerAction")
+    sig = action.find(".//TrafficSignalStateAction")
+    weather = action.find(".//EnvironmentAction//Weather")
+    if speed is not None:
+        v, rel = _speed_target(speed)
+        if v is None:
+            return None
+        return OscEvent(default_entity, "speed", v,
+                        extra=dict(relative_to=rel) if rel else None)
+    if lane is not None:
+        tgt = lane.find(".//RelativeTargetLane")
+        if tgt is not None:
+            lanes = int(tgt.get("value", 1))
+        else:
+            abs_tgt = lane.find(".//AbsoluteTargetLane")
+            lanes = int(abs_tgt.get("value", 1)) if abs_tgt is not None else 1
+        return OscEvent(default_entity, "lane_change", 3.5 * lanes)
+    if tele is not None:
+        pos, h = _world_position(tele)
+        if pos is None:
+            return None
+        return OscEvent(default_entity, "teleport", 0.0,
+                        extra=dict(pos=pos, heading=h))
+    if ctrl is not None:
+        return OscEvent(default_entity, "controller",
+                        1.0 if ctrl.get("longitudinal", "true") != "false"
+                        else 0.0)
+    if sig is not None:
+        return OscEvent(default_entity, "signal", 0.0,
+                        extra=dict(name=sig.get("name", ""),
+                                   state=sig.get("state", "red").lower()))
+    if weather is not None:
+        sun = weather.find("Sun")
+        preset = "ClearNoon"
+        if weather.find("Precipitation") is not None and \
+                float(weather.find("Precipitation").get("intensity", 0)) > 0:
+            preset = "HardRainNoon"
+        elif sun is not None and float(sun.get("elevation", 1.2)) < 0.2:
+            preset = "ClearSunset"
+        return OscEvent(default_entity, "weather", 0.0,
+                        extra=dict(preset=preset))
+    return None
 
 
 def load_openscenario(path: str) -> OpenScenarioConfig:
     root = ET.parse(path).getroot()
+    _apply_parameters(root)
 
     entities: Dict[str, OscEntity] = {}
     for obj in root.iterfind(".//Entities/ScenarioObject"):
@@ -92,7 +264,7 @@ def load_openscenario(path: str) -> OpenScenarioConfig:
             ent.pos, ent.heading = _world_position(tele)
         speed = private.find(".//SpeedAction")
         if speed is not None:
-            v = _speed_target(speed)
+            v, _ = _speed_target(speed)
             if v is not None:
                 ent.speed = v
 
@@ -103,32 +275,54 @@ def load_openscenario(path: str) -> OpenScenarioConfig:
         default_entity = actor_ref.get("entityRef") if actor_ref is not None \
             else None
         for event in group.iterfind(".//Event"):
-            at_time: Optional[float] = None
-            at_pos: Optional[np.ndarray] = None
-            tolerance: Optional[float] = None
-            cond = event.find(".//StartTrigger//SimulationTimeCondition")
-            if cond is not None:
-                at_time = float(cond.get("value", 0))
-            reach = event.find(".//StartTrigger//ReachPositionCondition")
-            if reach is not None:
-                at_pos, _ = _world_position(reach)
-                tol = reach.get("tolerance")
-                tolerance = float(tol) if tol is not None else None
+            cond = _parse_trigger(event.find("StartTrigger"))
+            stop = _parse_trigger(event.find("StopTrigger"))
             for action in event.iterfind("Action"):
-                speed = action.find(".//SpeedAction")
-                lane = action.find(".//LaneChangeAction")
-                if speed is not None:
-                    v = _speed_target(speed)
-                    if v is not None:
-                        events.append(OscEvent(default_entity, "speed", v,
-                                               at_time, at_pos, tolerance))
-                elif lane is not None:
-                    tgt = lane.find(".//RelativeTargetLane")
-                    lanes = int(tgt.get("value", 1)) if tgt is not None else 1
-                    events.append(OscEvent(default_entity, "lane_change",
-                                           3.5 * lanes, at_time, at_pos,
-                                           tolerance))
+                ev = _parse_action(action, default_entity)
+                if ev is None:
+                    continue
+                ev.name = event.get("name", "") or action.get("name", "")
+                ev.cond = cond
+                ev.stop = stop
+                if cond is not None:
+                    # legacy convenience fields for the two common cases
+                    if cond["type"] == "time":
+                        ev.at_time = cond["value"]
+                    elif cond["type"] == "reach":
+                        ev.at_pos = cond["pos"]
+                        ev.tolerance = cond.get("tolerance")
+                events.append(ev)
     return OpenScenarioConfig(entities=entities, events=events)
+
+
+def _resolve(actors: Dict[str, Any], ref: Optional[str], ego_name: str):
+    if ref is None or ref == ego_name:
+        return "ego"
+    return actors.get(ref)
+
+
+def _make_condition(spec: dict, actors: Dict[str, Any], ego_name: str):
+    """Condition spec -> scenarios.Condition (None when unmappable)."""
+    who = _resolve(actors, spec.get("entity"), ego_name)
+    if spec["type"] == "standstill":
+        return StandStill(who, duration=spec["duration"])
+    if spec["type"] == "traveled":
+        return DriveDistance(who, spec["value"])
+    if spec["type"] == "speed":
+        return TriggerVelocity(who, spec["value"])
+    if spec["type"] == "distance":
+        other = _resolve(actors, spec.get("other"), ego_name)
+        if other is None:
+            return None
+        return InTriggerDistanceToVehicle(who, other, spec["value"])
+    if spec["type"] == "ttc":
+        other = _resolve(actors, spec.get("other"), ego_name)
+        if other is None:
+            return None
+        return InTimeToArrivalToVehicle(who, other, spec["value"])
+    if spec["type"] == "element_state":
+        return WaitForBlackboardVariable(f"xosc:{spec['ref']}:done")
+    return None
 
 
 def build_manager(cfg: OpenScenarioConfig, env,
@@ -166,23 +360,100 @@ def build_manager(cfg: OpenScenarioConfig, env,
                 return build
             triggers.append(ScenarioTrigger(
                 kind="xosc:init_speed", at_tick=1, builder=init_builder()))
+
+    def action_behavior(ev: OscEvent, ob, env):
+        extra = ev.extra or {}
+        if ev.action == "speed":
+            v = ev.value
+            rel = extra.get("relative_to")
+            if rel is not None:
+                base = _resolve(actors, rel, ego_name)
+                base_v = env._speed if base == "ego" else \
+                    getattr(base, "speed", 0.0)
+                v = float(base_v) + v
+            return KeepVelocityBehavior(ob, speed=v, distance=math.inf)
+        if ev.action == "lane_change":
+            return LaneChangeBehavior(ob, offset=ev.value)
+        if ev.action == "teleport":
+            return ActorTransformSetterBehavior(
+                ob, extra["pos"], heading=extra.get("heading"))
+        if ev.action == "controller":
+            return ChangeAutoPilotBehavior(ob, enable=ev.value > 0)
+        if ev.action == "signal":
+            lights = list(getattr(env, "_lights", []) or [])
+            if not lights:
+                return SequenceBehavior([])
+            return TrafficLightStateSetterBehavior(lights[0],
+                                                   extra["state"])
+        if ev.action == "weather":
+            class _SetWeather:
+                def tick(self, env, _preset=extra["preset"]):
+                    env.weather = _preset
+                    return False
+            return _SetWeather()
+        raise ValueError(f"unknown xosc action {ev.action!r}")
+
     for ev in cfg.events:
         ob = actors.get(ev.entity)
-        if ob is None:
+        if ob is None and ev.action not in ("signal", "weather"):
             continue
+
+        class _Lazy:
+            """Defer inner-behavior construction to first tick (one-shot
+            primitives like teleport act in __init__, which must not happen
+            while an upstream gating condition is unmet) and raise the
+            event's blackboard done-flag after the first applied tick —
+            exact completion for instantaneous actions, 'applied' for hold
+            actions like SpeedAction (which our KeepVelocity reaches on its
+            first tick anyway, so StoryboardElementStateCondition chaining
+            matches the reference's completeState timing)."""
+
+            def __init__(self, factory, flag=None):
+                self._factory = factory
+                self._flag = flag
+                self._inner = None
+
+            def tick(self, env):
+                if self._inner is None:
+                    self._inner = self._factory(env)
+                alive = self._inner.tick(env)
+                if self._flag:
+                    SetBlackboardVariableBehavior(self._flag).tick(env)
+                    self._flag = None
+                return alive
 
         def make_builder(ob=ob, ev=ev):
             def build(env, rng):
-                if ev.action == "speed":
-                    return KeepVelocityBehavior(ob, speed=ev.value,
-                                                distance=math.inf)
-                return LaneChangeBehavior(ob, offset=ev.value)
+                behavior = _Lazy(lambda e, ev=ev, ob=ob:
+                                 action_behavior(ev, ob, e),
+                                 flag=f"xosc:{ev.name}:done"
+                                 if ev.name else None)
+                chain = [behavior]
+                # generic (non time/reach) start conditions gate inside the
+                # behavior; the trigger itself fires immediately
+                if ev.cond is not None and \
+                        ev.cond["type"] not in ("time", "reach"):
+                    cond = _make_condition(ev.cond, actors, ego_name)
+                    if cond is not None:
+                        chain.insert(0, ConditionBehavior(cond))
+                seq: Any = SequenceBehavior(chain)
+                if ev.stop is not None:
+                    stop_cond = _make_condition(ev.stop, actors, ego_name)
+                    if stop_cond is not None:
+                        # StopTrigger: the event aborts when the stop
+                        # condition fires first (SUCCESS_ON_ONE)
+                        seq = ParallelBehavior(
+                            [seq, ConditionBehavior(stop_cond)],
+                            success_on_one=True)
+                return seq
             return build
 
         at_tick = None if ev.at_time is None else max(
             1, int(round(ev.at_time / dt)))
         from cadre_tpu.envs.scenarios import TRIGGER_RADIUS
 
+        if at_tick is None and ev.at_pos is None:
+            at_tick = 1               # condition-gated: fire immediately
         triggers.append(ScenarioTrigger(
             kind=f"xosc:{ev.action}", pos=ev.at_pos, at_tick=at_tick,
             builder=make_builder(),

@@ -119,3 +119,155 @@ def test_build_manager_fires_events(tmp_path):
     for _ in range(30):
         mgr.tick(env)
     np.testing.assert_allclose(float(adv.pos[1]), 3.5, atol=1e-6)
+
+
+XOSC_EXT = """<?xml version="1.0"?>
+<OpenSCENARIO>
+  <ParameterDeclarations>
+    <ParameterDeclaration name="advSpeed" parameterType="double" value="3.0"/>
+    <ParameterDeclaration name="startX" parameterType="double" value="25"/>
+  </ParameterDeclarations>
+  <Entities>
+    <ScenarioObject name="hero"><Vehicle name="ego"/></ScenarioObject>
+    <ScenarioObject name="adversary"><Vehicle name="car"/></ScenarioObject>
+  </Entities>
+  <Storyboard>
+    <Init><Actions>
+      <Private entityRef="adversary">
+        <PrivateAction><TeleportAction><Position>
+          <WorldPosition x="$startX" y="0" z="0" h="0"/>
+        </Position></TeleportAction></PrivateAction>
+        <PrivateAction><LongitudinalAction><SpeedAction>
+          <SpeedActionTarget><AbsoluteTargetSpeed value="$advSpeed"/></SpeedActionTarget>
+        </SpeedAction></LongitudinalAction></PrivateAction>
+      </Private>
+    </Actions></Init>
+    <Story name="s"><Act name="a">
+      <ManeuverGroup name="mg">
+        <Actors><EntityRef entityRef="adversary"/></Actors>
+        <Maneuver name="m">
+          <Event name="brake_when_ego_fast" priority="overwrite">
+            <Action name="stopnow"><PrivateAction><LongitudinalAction><SpeedAction>
+              <SpeedActionTarget><AbsoluteTargetSpeed value="0.0"/></SpeedActionTarget>
+            </SpeedAction></LongitudinalAction></PrivateAction></Action>
+            <StartTrigger><ConditionGroup><Condition name="fast">
+              <ByEntityCondition>
+                <TriggeringEntities rule="any"><EntityRef entityRef="hero"/></TriggeringEntities>
+                <EntityCondition><SpeedCondition value="4.0" rule="greaterThan"/></EntityCondition>
+              </ByEntityCondition>
+            </Condition></ConditionGroup></StartTrigger>
+          </Event>
+          <Event name="teleport_after" priority="overwrite">
+            <Action name="jump"><PrivateAction><TeleportAction><Position>
+              <WorldPosition x="100" y="7" z="0" h="1.5708"/>
+            </Position></TeleportAction></PrivateAction></Action>
+            <StartTrigger><ConditionGroup><Condition name="chain">
+              <ByValueCondition>
+                <StoryboardElementStateCondition storyboardElementType="event"
+                  storyboardElementRef="brake_when_ego_fast" state="completeState"/>
+              </ByValueCondition>
+            </Condition></ConditionGroup></StartTrigger>
+          </Event>
+        </Maneuver>
+      </ManeuverGroup>
+    </Act></Story>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+
+
+def test_parameters_conditions_and_element_state_chaining(tmp_path):
+    """$parameter substitution, entity SpeedCondition gating, and
+    StoryboardElementStateCondition chaining through blackboard flags."""
+    path = tmp_path / "ext.xosc"
+    path.write_text(XOSC_EXT)
+    cfg = load_openscenario(str(path))
+    adv = cfg.entities["adversary"]
+    np.testing.assert_allclose(adv.pos, [25.0, 0.0])   # $startX
+    assert adv.speed == 3.0                             # $advSpeed
+    specs = {e.name: e for e in cfg.events}
+    assert specs["brake_when_ego_fast"].cond["type"] == "speed"
+    assert specs["teleport_after"].cond["type"] == "element_state"
+
+    class _Env:
+        dt = 0.1
+        _pos = np.zeros(2)
+        _yaw = 0.0
+        _speed = 0.0
+        _obstacles = []
+
+    env = _Env()
+    mgr = build_manager(cfg, env)
+    ob = env._obstacles[0]
+    for _ in range(5):
+        mgr.tick(env)
+    assert ob.speed == 3.0                  # ego slow: nothing fired
+    env._speed = 5.0                        # SpeedCondition satisfied
+    for _ in range(3):
+        mgr.tick(env)
+    assert ob.speed == 0.0                  # brake event ran
+    assert env.blackboard["xosc:brake_when_ego_fast:done"]
+    for _ in range(3):
+        mgr.tick(env)                       # chained teleport fires next
+    np.testing.assert_allclose(ob.pos, [100.0, 7.0])
+    assert env.blackboard["xosc:teleport_after:done"]
+
+
+def test_stop_trigger_aborts_event(tmp_path):
+    """Event StopTrigger: the lane change aborts when the stop condition
+    (ego standstill already satisfied) fires first."""
+    xosc = """<?xml version="1.0"?>
+<OpenSCENARIO>
+  <Entities>
+    <ScenarioObject name="hero"><Vehicle name="ego"/></ScenarioObject>
+    <ScenarioObject name="adversary"><Vehicle name="car"/></ScenarioObject>
+  </Entities>
+  <Storyboard>
+    <Init><Actions>
+      <Private entityRef="adversary">
+        <PrivateAction><TeleportAction><Position>
+          <WorldPosition x="10" y="0" z="0" h="0"/>
+        </Position></TeleportAction></PrivateAction>
+      </Private>
+    </Actions></Init>
+    <Story name="s"><Act name="a"><ManeuverGroup name="mg">
+      <Actors><EntityRef entityRef="adversary"/></Actors>
+      <Maneuver name="m"><Event name="swerve" priority="overwrite">
+        <Action name="lane"><PrivateAction><LateralAction><LaneChangeAction>
+          <LaneChangeTarget><RelativeTargetLane entityRef="adversary" value="1"/></LaneChangeTarget>
+        </LaneChangeAction></LateralAction></PrivateAction></Action>
+        <StartTrigger><ConditionGroup><Condition name="t">
+          <ByValueCondition><SimulationTimeCondition value="0.1" rule="greaterThan"/></ByValueCondition>
+        </Condition></ConditionGroup></StartTrigger>
+        <StopTrigger><ConditionGroup><Condition name="halt">
+          <ByEntityCondition>
+            <TriggeringEntities rule="any"><EntityRef entityRef="adversary"/></TriggeringEntities>
+            <EntityCondition><StandStillCondition duration="0.2"/></EntityCondition>
+          </ByEntityCondition>
+        </Condition></ConditionGroup></StopTrigger>
+      </Event></Maneuver>
+    </ManeuverGroup></Act></Story>
+  </Storyboard>
+</OpenSCENARIO>
+"""
+    path = tmp_path / "stop.xosc"
+    path.write_text(xosc)
+    cfg = load_openscenario(str(path))
+    ev = cfg.events[0]
+    assert ev.stop is not None and ev.stop["type"] == "standstill"
+
+    class _Env:
+        dt = 0.1
+        _pos = np.zeros(2)
+        _yaw = 0.0
+        _speed = 0.0
+        _obstacles = []
+
+    env = _Env()
+    mgr = build_manager(cfg, env)
+    ob = env._obstacles[0]
+    # adversary is stationary, so the standstill stop condition fires
+    # within 2 ticks of the event starting — lane change never completes
+    for _ in range(30):
+        mgr.tick(env)
+    assert abs(float(ob.pos[1])) < 3.0      # aborted well short of 3.5
