@@ -981,6 +981,9 @@ def _render_rgb(cfg: JaxEnvConfig, bank: RouteBank, state: JaxEnvState,
     v = horizon - _FOCAL * (5.0 - _CAM_H) / xf_s
     okl = okl & (u >= 0) & (u < w)
     r = jnp.maximum(2.0, jnp.floor(_FOCAL * 0.6 / xf_s))
+    # canvas-top clamp for close lights (host twin does the same): every
+    # frame labeled by the light head's ground truth keeps visible pixels
+    v = jnp.maximum(v, r)
     vg = horizon + _FOCAL * _CAM_H / xf_s
     lcol = jnp.asarray(_LIGHT_COLORS)[phase]
     pole = jnp.broadcast_to(jnp.asarray([60.0, 60.0, 60.0]),

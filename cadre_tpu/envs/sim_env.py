@@ -596,6 +596,13 @@ class SimDrivingEnv(BaseDrivingEnv):
             if not (0 <= u < w):
                 continue
             r = max(2, int(f * 0.6 / xf))
+            # clamp the head to the canvas top when the ego is close
+            # (xf < ~6.6 m would project the 5 m-high head off-screen):
+            # the overhead light stays visible through the windshield top,
+            # and every frame labeled by nearest_light_ahead keeps
+            # learnable pixels (the light head is the light-state label's
+            # only image evidence)
+            v = max(v, r)
             color = light_colors[light.state]
             v0, v1 = max(0, v - r), min(h, v + r)
             u0, u1 = max(0, u - r), min(w, u + r)
