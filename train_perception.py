@@ -109,9 +109,13 @@ def main():
                         "weights — the collection-side half of the "
                         "reference's imbalance handling")
     p.add_argument("--holdout", action="store_true",
-                   help="hold out the last shard and report per-class "
+                   help="hold out the last shard(s) and report per-class "
                         "seg/light accuracy tables after training "
                         "(the reference's test_route.py protocol)")
+    p.add_argument("--holdout-shards", type=int, default=1,
+                   help="number of trailing shards to hold out (1 shard = "
+                        "512 frames gives noisy per-class tables; 4 is "
+                        "the floors-protocol setting)")
     p.add_argument("--camroute", action="store_true",
                    help="blank the route-raster input plane "
                         "(DANetParams.in_route_blank): train the "
@@ -171,7 +175,8 @@ def main():
     holdout_paths = None
     train_paths = all_paths
     if args.holdout and len(all_paths) > 1:
-        holdout_paths, train_paths = all_paths[-1:], all_paths[:-1]
+        k = min(args.holdout_shards, len(all_paths) - 1)
+        holdout_paths, train_paths = all_paths[-k:], all_paths[:-k]
     loader = PerceptionDataLoader(train_paths, batch_size=args.batch_size,
                                   seed=args.seed, augment=host_augment,
                                   packed=args.packed,
