@@ -70,6 +70,37 @@ class MapRouter:
             self._adj.setdefault(a, []).append(idx)
             self._nodes[a] = _xy(begin)
             self._nodes[b] = _xy(end)
+        self._alive, self._coalive = self._prune_dead_ends()
+
+    def _prune_dead_ends(self):
+        """Edges that can reach a cycle (`alive`) / be reached from one
+        (`coalive`). Real CARLA maps are closed networks where every edge
+        is both; synthetic grids grow dead-end boundary stubs, which are
+        valid route *destinations* but hopeless route *origins* (and vice
+        versa for source-only stubs)."""
+        radj: Dict[Tuple[int, int], List[int]] = {}
+        for ei, e in enumerate(self._edges):
+            radj.setdefault(e["dst"], []).append(ei)
+        alive = set(range(len(self._edges)))
+        changed = True
+        while changed:
+            changed = False
+            for ei in list(alive):
+                if not any(ej in alive
+                           for ej in self._adj.get(self._edges[ei]["dst"],
+                                                   ())):
+                    alive.discard(ei)
+                    changed = True
+        coalive = set(range(len(self._edges)))
+        changed = True
+        while changed:
+            changed = False
+            for ei in list(coalive):
+                if not any(ej in coalive
+                           for ej in radj.get(self._edges[ei]["src"], ())):
+                    coalive.discard(ei)
+                    changed = True
+        return alive, coalive
 
     def _densify(self, begin, end, max_steps: int) -> List[Any]:
         """Walk begin.next(resolution) toward end, as the egg's planner
@@ -138,35 +169,60 @@ class MapRouter:
             return RoadOption.STRAIGHT
         return RoadOption.LEFT if diff > 0 else RoadOption.RIGHT
 
-    def _nearest_edge_point(self, x: float, y: float) -> Tuple[int, int]:
-        """(edge index, dense-point index) closest to (x, y)."""
-        best_ei = best_i = 0
-        best_d = float("inf")
+    def _nearest_edge_points(self, x: float, y: float, k: int,
+                             allowed=None) -> List[Tuple[float, int, int]]:
+        """k closest (distance, edge index, dense-point index) to (x, y),
+        at most one candidate per edge, sorted by distance; `allowed`
+        restricts the edge set (empty/None means all edges)."""
+        cands: List[Tuple[float, int, int]] = []
         for ei, e in enumerate(self._edges):
+            if allowed and ei not in allowed:
+                continue
             d2 = ((e["xy"][:, 0] - x) ** 2 + (e["xy"][:, 1] - y) ** 2)
             i = int(d2.argmin())
-            if d2[i] < best_d:
-                best_ei, best_i, best_d = ei, i, float(d2[i])
-        return best_ei, best_i
+            cands.append((float(d2[i]), ei, i))
+        cands.sort()
+        return cands[:k]
 
     def trace_route(self, origin, destination) -> List[Tuple[Any, RoadOption]]:
         """Dense (waypoint, RoadOption) trace — the egg planner's public
         surface consumed by route_manipulation.interpolate_trajectory.
         Anchored on the lane POINTS nearest the query endpoints (mid-edge
-        starts/ends included), as the egg's planner does."""
-        se, si = self._nearest_edge_point(float(origin.x), float(origin.y))
-        de, di = self._nearest_edge_point(float(destination.x),
-                                          float(destination.y))
-        if se == de and si <= di:
-            e = self._edges[se]
-            opt = self._edge_option(e)
-            return [(w, opt) for w in e["wps"][si:di + 1]]
-        e0, e1 = self._edges[se], self._edges[de]
-        out: List[Tuple[Any, RoadOption]] = [
-            (w, self._edge_option(e0)) for w in e0["wps"][si:]]
-        for ei in self._shortest_edges(e0["dst"], e1["src"]):
-            e = self._edges[ei]
-            opt = self._edge_option(e)
-            out.extend((w, opt) for w in e["wps"][1:])   # de-dup joints
-        out.extend((w, self._edge_option(e1)) for w in e1["wps"][1:di + 1])
-        return out
+        starts/ends included), as the egg's planner does. Unlike the egg's
+        maps, synthetic topologies can hold dead-end stubs (grid boundary
+        extensions): when the nearest anchor pair admits no path, fall back
+        through the next-nearest candidate anchors before giving up."""
+        ox, oy = float(origin.x), float(origin.y)
+        dx, dy = float(destination.x), float(destination.y)
+        # nearest candidates overall (covers origin+destination on the
+        # same dead-end edge) plus nearest escape-capable / reachable ones
+        src = {c[1]: c for c in
+               self._nearest_edge_points(ox, oy, 4, self._alive)
+               + self._nearest_edge_points(ox, oy, 2)}.values()
+        dst = {c[1]: c for c in
+               self._nearest_edge_points(dx, dy, 4, self._coalive)
+               + self._nearest_edge_points(dx, dy, 2)}.values()
+        pairs = sorted(((ds + dd, se, si, de, di)
+                        for ds, se, si in src for dd, de, di in dst))
+        last_err: Exception = ValueError("empty topology")
+        for _, se, si, de, di in pairs:
+            if se == de and si <= di:
+                e = self._edges[se]
+                opt = self._edge_option(e)
+                return [(w, opt) for w in e["wps"][si:di + 1]]
+            e0, e1 = self._edges[se], self._edges[de]
+            try:
+                mid = self._shortest_edges(e0["dst"], e1["src"])
+            except ValueError as err:
+                last_err = err
+                continue
+            out: List[Tuple[Any, RoadOption]] = [
+                (w, self._edge_option(e0)) for w in e0["wps"][si:]]
+            for ei in mid:
+                e = self._edges[ei]
+                opt = self._edge_option(e)
+                out.extend((w, opt) for w in e["wps"][1:])  # de-dup joints
+            out.extend(
+                (w, self._edge_option(e1)) for w in e1["wps"][1:di + 1])
+            return out
+        raise last_err

@@ -252,7 +252,17 @@ def trace_dense_route(carla_map, keypoints: np.ndarray,
     jax_env.make_route_bank)."""
     from cadre_tpu.envs.map_router import MapRouter
 
-    router = MapRouter(carla_map, resolution)
+    cache = getattr(carla_map, "_cadre_routers", None)
+    if cache is None:
+        cache = {}
+        try:
+            carla_map._cadre_routers = cache
+        except AttributeError:      # e.g. the real carla.Map RPC proxy
+            pass
+    router = cache.get(resolution)
+    if router is None:
+        router = MapRouter(carla_map, resolution)
+        cache[resolution] = router
     out: List[np.ndarray] = []
     for a, b in zip(keypoints[:-1], keypoints[1:]):
         seg = router.trace_route(_Loc(a[0], a[1]), _Loc(b[0], b[1]))

@@ -93,3 +93,43 @@ def test_carla_env_dense_branch_turns(tmp_path, monkeypatch):
     finally:
         env.close()
     carla_stub.Client._worlds = {}
+
+
+def test_trace_from_dead_end_stub_falls_back():
+    """Grid boundary-extension lanes are dead-end stubs (no successors,
+    no U-turns). A query point whose NEAREST lane point sits on such a
+    stub must still route: trace_route falls back through next-nearest
+    anchor candidates (the Town02 NoCrash eval regression — keypoint near
+    the boundary junction projected onto the northbound extension)."""
+    m = GridTownMap(xs=(0.0, 120.0), ys=(0.0, 120.0))
+    router = MapRouter(m, 1.0)
+    # (2.5, 126): past the last horizontal road, nearest the x=0 road's
+    # northbound extension stub (lane x=+1.75, y>=128)
+    route = router.trace_route(Location(2.5, 126.0), Location(60.0, -1.75))
+    pts = _pts(route)
+    assert len(pts) > 50
+    gaps = np.hypot(*np.diff(pts, axis=0).T)
+    assert gaps.max() < 3.0, "trace not dense"
+    assert np.hypot(pts[0, 0] - 2.5, pts[0, 1] - 126.0) < 20.0
+    assert np.hypot(pts[-1, 0] - 60.0, pts[-1, 1] + 1.75) < 5.0
+
+
+def test_nocrash_town02_eval_routes_all_trace():
+    """Every route in the reference Town02 NoCrash eval XML traces densely
+    over the approximate town grid (the exact input that hit the dead-end
+    stub before the anchor fallback)."""
+    import os
+
+    from cadre_tpu.envs.route_parser import parse_routes_file
+    from cadre_tpu.envs.town_maps import town_map, trace_dense_route
+
+    xml = "/root/reference/nocrash_route/eval_routes/Nocrash_Town02.xml"
+    if not os.path.exists(xml):
+        pytest.skip("reference data not mounted")
+    tmap = town_map("Town02")
+    for cfg in parse_routes_file(xml):
+        kp = np.asarray([w.xy for w in cfg.trajectory])
+        dense = trace_dense_route(tmap, kp)
+        assert len(dense) >= 30, cfg.name
+        gaps = np.hypot(*np.diff(dense, axis=0).T)
+        assert gaps.max() < 3.0, cfg.name
