@@ -56,7 +56,8 @@ def make_distributed_perception_trainer(
             {"params": params, "batch_stats": stats},
             x, batch["speed"], train=True,
             rngs={"dropout": rng_}, mutable=["batch_stats"])
-        total, losses = total_danet_loss(outputs, batch, cfg, seg_w, light_w)
+        total, losses = total_danet_loss(outputs, batch, cfg, seg_w, light_w,
+                                         light_weight=tp.w_light_state)
         return total, (losses, mutated["batch_stats"])
 
     def update(state, batch, rng_):

@@ -67,9 +67,19 @@ def kld_loss(mu: jax.Array, logvar: jax.Array) -> jax.Array:
 
 
 def total_danet_loss(outputs: Dict[str, jax.Array], batch: Dict[str, Any],
-                     cfg, seg_class_weight=None, light_class_weight=None
-                     ) -> tuple:
-    """Weighted multi-task total for the production output mode 12."""
+                     cfg, seg_class_weight=None, light_class_weight=None,
+                     light_weight: float = 0.1) -> tuple:
+    """Weighted multi-task total for the production output mode 12.
+
+    `light_weight` is the light-state CE coefficient
+    (PerceptionTrainParams.w_light_state; auto_trainer.py:267-298 uses
+    0.1). At 0.1 the term is ~5 orders of magnitude below the h*w-scaled
+    seg CE, so the latent-z bottleneck never learns the light's HUE —
+    the head detects the box (dist regression works) but classifies every
+    visible light as the most common color (round-3/4 holdout: red class
+    0.000 with perfectly color-separable data). Boosting to O(100) makes
+    the light CE gradient into the shared encoder comparable to ~1% of
+    the seg gradient, which is enough to carry hue through z."""
     losses: Dict[str, jax.Array] = {}
     total = jnp.zeros(())
     if cfg.pred_camera_seg:
@@ -85,7 +95,7 @@ def total_danet_loss(outputs: Dict[str, jax.Array], batch: Dict[str, Any],
     if cfg.pred_light_state:
         losses["light_state"] = light_state_loss(
             outputs["light_state"], batch["light_state"], light_class_weight)
-        total = total + 0.1 * losses["light_state"]
+        total = total + light_weight * losses["light_state"]
     if cfg.pred_light_dist:
         losses["light_dist"] = light_dist_loss(outputs["light_dist"][..., 0],
                                                batch["light_dist"])

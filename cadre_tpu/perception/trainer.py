@@ -142,7 +142,8 @@ class PerceptionTrainer:
             batch = self._augment_on_device(batch, rng)
         outputs, mutated = self._apply(params, batch_stats, batch, True, rng)
         total, losses = total_danet_loss(outputs, batch, self.cfg,
-                                         self.seg_w, self.light_w)
+                                         self.seg_w, self.light_w,
+                                         light_weight=self.tp.w_light_state)
         return total, (losses, mutated["batch_stats"])
 
     def _train_step_impl(self, state_params, state_stats, opt_state, batch,
@@ -159,7 +160,8 @@ class PerceptionTrainer:
         batch = unpack_batch(batch)
         outputs = self._apply(params, batch_stats, batch, False)
         total, losses = total_danet_loss(outputs, batch, self.cfg,
-                                         self.seg_w, self.light_w)
+                                         self.seg_w, self.light_w,
+                                         light_weight=self.tp.w_light_state)
         metrics = dict(losses, total=total)
         if self.cfg.pred_camera_seg:
             pred = jnp.argmax(outputs["camera"], axis=-1)

@@ -1,9 +1,12 @@
 #!/bin/bash
 # Round-4 experiment chain, one flock holder so ordering is deterministic:
-#   1. encoders (skipped when run_r4_encoders.sh already built them)
+#   1. std encoder under the FLOORS protocol (VERDICT r3 item 5): boosted
+#      light-state CE (w=300 vs the reference's 0.1 — at 0.1 the latent-z
+#      bottleneck provably never learns light hue; see losses.py) +
+#      walker seg-class boost, 4-shard holdout tables
 #   2. NoCrash eval protocol (VERDICT r3 item 3) -> BENCH_r4_nocrash.json
 #   3. camroute trained-vs-random stats grid (VERDICT r3 item 1 follow-up)
-#      -> BENCH_r4_camroute_stats.json
+#      -> BENCH_r4_camroute_stats.json (assembled incrementally per run)
 set -x
 export PATH=/opt/venv/bin:$PATH
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -16,23 +19,24 @@ exec 9>"$W/.lock"
 flock 9 || exit 1
 {
   date
-  for mode in camroute std; do
-    if [ "$mode" = camroute ]; then DIR="$W/enc"; EXTRA="--camroute"; else DIR="$W/enc_std_bal"; EXTRA=""; fi
-    [ -f "$DIR/net_epoch17.msgpack" ] && continue
+  # ---- floors-protocol std encoder (also the NoCrash ensemble encoder) ----
+  DIR="$W/enc_floors"
+  if [ ! -f "$DIR/net_epoch23.msgpack" ]; then
     timeout 7200 python train_perception.py --data-dir /tmp/pdata \
-        --epochs 18 $EXTRA --holdout --packed --cache --balance \
-        --batch-size 48 --save-interval 18 --work-dir "$DIR"
-    echo "ENC_${mode}_DONE"; date
-  done
+        --epochs 24 --holdout --holdout-shards 4 --packed --cache --balance \
+        --light-weight 300 --seg-boost 3:4 \
+        --batch-size 48 --save-interval 24 --work-dir "$DIR"
+    echo ENC_floors_DONE; date
+  fi
 
   # ---- NoCrash protocol (train on Town01 train XMLs, ensemble eval on
   # the reference Town01/Town02 eval XMLs over the town grids) ----
   if [ ! -f BENCH_r4_nocrash.json ]; then
     timeout 5400 python scripts/run_nocrash_eval.py \
-        --encoder "$W/enc_std_bal/net_epoch17.msgpack" \
+        --encoder "$DIR/net_epoch23.msgpack" \
         --workdir "$W/nocrash" --out BENCH_r4_nocrash.json \
       || timeout 3600 python scripts/run_nocrash_eval.py \
-        --encoder "$W/enc_std_bal/net_epoch17.msgpack" \
+        --encoder "$DIR/net_epoch23.msgpack" \
         --workdir "$W/nocrash" --out BENCH_r4_nocrash.json --eval-only
     echo NOCRASH_DONE; date
   fi

@@ -271,3 +271,59 @@ def test_camera_route_trainer_blanks_input_only(dataset_dir):
     m2 = trainer.eval_step(b2)
     assert np.allclose(m1["total"], m2["total"])
     assert np.isfinite(m1["route"]) and m1["route"] > 0.0
+
+
+def test_light_weight_scales_total_only():
+    """w_light_state scales the light CE contribution to the TOTAL while
+    the logged per-head loss stays the raw CE (comparable across runs)."""
+    from cadre_tpu.perception.losses import total_danet_loss
+
+    cfg = danet_params()
+    rng = np.random.RandomState(0)
+    B, H, W = 2, 8, 8
+    outputs = {
+        "camera": jnp.asarray(rng.randn(B, H, W, 8), jnp.float32),
+        "route": jnp.asarray(rng.rand(B, H, W, 1), jnp.float32),
+        "light_state": jnp.asarray(rng.randn(B, 4), jnp.float32),
+        "light_dist": jnp.asarray(rng.randn(B, 1), jnp.float32),
+        "steer": jnp.asarray(rng.randn(B), jnp.float32),
+        "throttle": jnp.asarray(rng.randn(B), jnp.float32),
+        "route_geom": jnp.asarray(rng.randn(B, 2), jnp.float32),
+    }
+    batch = {
+        "camera_seg": jnp.asarray(rng.randint(0, 8, (B, H, W)), jnp.int32),
+        "camera_rgb": jnp.asarray(rng.rand(B, H, W, 3), jnp.float32),
+        "route_fig": jnp.asarray(rng.rand(B, H, W, 1), jnp.float32),
+        "light_state": jnp.asarray([1, 3], jnp.int32),
+        "light_dist": jnp.asarray(rng.rand(B), jnp.float32),
+        "steer": jnp.asarray(rng.randn(B), jnp.float32),
+        "throttle": jnp.asarray(rng.randn(B), jnp.float32),
+        "dis": jnp.asarray(rng.randn(B), jnp.float32),
+        "theta": jnp.asarray(rng.randn(B), jnp.float32),
+    }
+    t_ref, l_ref = total_danet_loss(outputs, batch, cfg)
+    t_boost, l_boost = total_danet_loss(outputs, batch, cfg,
+                                        light_weight=300.0)
+    # per-head logged loss identical; total differs by (300-0.1)*CE
+    assert np.allclose(l_ref["light_state"], l_boost["light_state"])
+    expected = float(t_ref) + (300.0 - 0.1) * float(l_ref["light_state"])
+    assert np.isclose(float(t_boost), expected, rtol=1e-5)
+
+
+def test_trainer_uses_tp_light_weight(dataset_dir):
+    """PerceptionTrainer routes tp.w_light_state into the jitted loss."""
+    loader = PerceptionDataLoader(dataset_dir, batch_size=4)
+    stats = compute_stats(loader.paths)
+    cfg = danet_params(da_feature_channel=16, inter_att_dims=16, z_dims=16)
+    batch = next(iter(loader))
+    totals = []
+    for w in (0.1, 1000.0):
+        tp = PerceptionTrainParams(batch_size=4, max_epochs=1,
+                                   w_light_state=w)
+        tr = PerceptionTrainer(cfg, tp, steps_per_epoch=1,
+                               rng=jax.random.PRNGKey(0),
+                               seg_class_weight=stats.seg_class_weight,
+                               light_class_weight=stats.light_class_weight)
+        m = tr.eval_step(batch)
+        totals.append(float(m["total"]))
+    assert totals[1] > totals[0]

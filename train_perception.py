@@ -7,6 +7,7 @@ build the IL dataset (the role of statics/vae_agent.py), then trains.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 
 import jax
@@ -112,6 +113,20 @@ def main():
                    help="hold out the last shard(s) and report per-class "
                         "seg/light accuracy tables after training "
                         "(the reference's test_route.py protocol)")
+    p.add_argument("--light-weight", type=float, default=0.1,
+                   help="light-state CE coefficient "
+                        "(PerceptionTrainParams.w_light_state; the "
+                        "reference's 0.1, auto_trainer.py:267-298). At 0.1 "
+                        "the latent bottleneck never learns light HUE "
+                        "(red/yellow holdout acc 0.000 despite separable "
+                        "pixels); the floors protocol uses O(100)")
+    p.add_argument("--seg-boost", action="append", default=[],
+                   metavar="CLS:FACTOR",
+                   help="multiply the inverse-frequency seg class weight "
+                        "of class CLS by FACTOR (repeatable). inv-freq "
+                        "gives every class an equal share of the seg "
+                        "gradient; tiny-object classes (walker=3) need "
+                        "an extra boost to clear the 0.5 holdout floor")
     p.add_argument("--holdout-shards", type=int, default=1,
                    help="number of trailing shards to hold out (1 shard = "
                         "512 frames gives noisy per-class tables; 4 is "
@@ -183,12 +198,18 @@ def main():
                                   cache_in_memory=args.cache,
                                   balance=args.balance)
     stats = compute_stats(loader.paths)
+    for spec in args.seg_boost:
+        cls_s, fac_s = spec.split(":")
+        w = stats.seg_class_weight.copy()
+        w[int(cls_s)] *= float(fac_s)
+        stats = dataclasses.replace(stats, seg_class_weight=w)
     small = dict(da_feature_channel=64, inter_att_dims=48, z_dims=32) \
         if args.small else {}
     if args.camroute:
         small["in_route_blank"] = True
     tp = PerceptionTrainParams(batch_size=args.batch_size,
-                               max_epochs=args.epochs)
+                               max_epochs=args.epochs,
+                               w_light_state=args.light_weight)
     if args.mesh:
         if args.experiment or args.model != "danet":
             raise SystemExit("--mesh supports the production DANet only")
