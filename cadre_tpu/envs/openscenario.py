@@ -13,6 +13,7 @@ that maps onto our tick-driven behavior primitives (envs/scenarios.py):
   LateralAction/LaneChangeAction ......... LaneChangeBehavior
   TeleportAction (storyboard) ............ ActorTransformSetterBehavior
   ActivateControllerAction ............... ChangeAutoPilotBehavior
+  AssignControllerAction ................. actor_controls plugin dispatch
   TrafficSignalStateAction ............... TrafficLightStateSetterBehavior
   EnvironmentAction/Weather .............. env weather preset switch
   StartTrigger SimulationTimeCondition ... time trigger (at_tick)
@@ -29,10 +30,16 @@ Every fired event sets the blackboard flag `xosc:<event>:done` on
 completion, which is what StoryboardElementStateCondition reads — the
 py_trees OneShot/element-status machinery reduced to our blackboard.
 
+Controller dispatch: AssignControllerAction instantiates an
+`envs.actor_controls.ActorControl` plugin (user module via the
+Controller's `module` property, else the kind default) wrapped in a
+`ControlledActorBehavior` — the reference's openscenario_parser
+controller path over srunner/scenariomanager/actorcontrols/.
+
 Out of scope (openscenario_parser.py features with no synthetic-world
-counterpart, closed in PARITY.md): catalogs, controller/actorcontrols
-plugin dispatch, road-network LanePosition/RoutePosition coordinates,
-TimeOfDay animation, and traffic-definition swarms.
+counterpart, closed in PARITY.md): catalogs, road-network
+LanePosition/RoutePosition coordinates, TimeOfDay animation, and
+traffic-definition swarms.
 
 `load_openscenario(path)` -> OpenScenarioConfig;
 `build_manager(cfg, env)` spawns the actors into a SimDrivingEnv-compatible
@@ -200,6 +207,7 @@ def _parse_action(action, default_entity) -> Optional[OscEvent]:
     speed = action.find(".//SpeedAction")
     lane = action.find(".//LaneChangeAction")
     tele = action.find(".//TeleportAction")
+    assign = action.find(".//AssignControllerAction")
     ctrl = action.find(".//ActivateControllerAction")
     sig = action.find(".//TrafficSignalStateAction")
     weather = action.find(".//EnvironmentAction//Weather")
@@ -223,6 +231,18 @@ def _parse_action(action, default_entity) -> Optional[OscEvent]:
             return None
         return OscEvent(default_entity, "teleport", 0.0,
                         extra=dict(pos=pos, heading=h))
+    if assign is not None:
+        # Controller/Properties: `module` selects the plugin class, every
+        # other property is passed through as a controller arg
+        # (openscenario_parser's controller path over actorcontrols/)
+        module, ctrl_args = None, {}
+        for prop in assign.findall(".//Property"):
+            if prop.get("name") == "module":
+                module = prop.get("value")
+            else:
+                ctrl_args[prop.get("name")] = prop.get("value")
+        return OscEvent(default_entity, "assign_controller", 0.0,
+                        extra=dict(module=module, args=ctrl_args))
     if ctrl is not None:
         return OscEvent(default_entity, "controller",
                         1.0 if ctrl.get("longitudinal", "true") != "false"
@@ -379,6 +399,14 @@ def build_manager(cfg: OpenScenarioConfig, env,
                 ob, extra["pos"], heading=extra.get("heading"))
         if ev.action == "controller":
             return ChangeAutoPilotBehavior(ob, enable=ev.value > 0)
+        if ev.action == "assign_controller":
+            from cadre_tpu.envs.actor_controls import \
+                ControlledActorBehavior
+            return ControlledActorBehavior(
+                ob, control_module=extra.get("module"),
+                args=extra.get("args"),
+                target_speed=getattr(ob, "speed", 0.0) or None,
+                init_speed=True)
         if ev.action == "signal":
             lights = list(getattr(env, "_lights", []) or [])
             if not lights:
