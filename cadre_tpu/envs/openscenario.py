@@ -47,8 +47,11 @@ env and returns a ScenarioManager whose triggers fire the mapped behaviors.
 """
 from __future__ import annotations
 
+import copy
 import dataclasses
+import glob
 import math
+import os
 import xml.etree.ElementTree as ET
 from typing import Any, Dict, List, Optional
 
@@ -120,6 +123,67 @@ def _apply_parameters(root) -> None:
                 ref = val[1:]
                 if ref in params:
                     el.set(key, params[ref])
+
+
+def _load_catalogs(root, base_dir: str) -> Dict[str, Dict[str, Any]]:
+    """CatalogLocations -> {catalog_name: {entry_name: Element}}.
+
+    Each `<XxxCatalog><Directory path=.../>` under CatalogLocations is
+    scanned for .xosc files whose `<Catalog name=...>` entries (Vehicle,
+    Pedestrian, Controller, Maneuver, ...) are indexed by their `name`
+    attribute (openscenario_parser.py's CatalogLocations handling; paths
+    resolve relative to the scenario file like the reference's)."""
+    catalogs: Dict[str, Dict[str, Any]] = {}
+    for locs in root.iter("CatalogLocations"):
+        for loc in locs:
+            directory = loc.find("Directory")
+            if directory is None:
+                continue
+            cat_dir = directory.get("path", "")
+            if not os.path.isabs(cat_dir):
+                cat_dir = os.path.join(base_dir, cat_dir)
+            for fname in sorted(glob.glob(os.path.join(cat_dir, "*.xosc"))):
+                try:
+                    cat_root = ET.parse(fname).getroot()
+                except ET.ParseError:
+                    continue
+                for cat in cat_root.iter("Catalog"):
+                    entries = catalogs.setdefault(cat.get("name", ""), {})
+                    for entry in cat:
+                        entries[entry.get("name", "")] = entry
+    return catalogs
+
+
+def _resolve_catalog_refs(root, catalogs: Dict[str, Dict[str, Any]]) -> None:
+    """Graft every `<CatalogReference catalogName=... entryName=...>` with a
+    deep copy of its catalog entry, applying ParameterAssignments over the
+    entry's ParameterDeclarations defaults ($ref substitution scoped to
+    the grafted subtree — the reference parser's
+    get_catalog_entry/ParameterAssignments semantics)."""
+    if not catalogs:
+        return
+    for parent in list(root.iter()):
+        for i, child in enumerate(list(parent)):
+            if child.tag != "CatalogReference":
+                continue
+            entry = catalogs.get(child.get("catalogName", ""), {}).get(
+                child.get("entryName", ""))
+            if entry is None:
+                continue
+            entry = copy.deepcopy(entry)
+            assigns = {pa.get("parameterRef", "").lstrip("$"):
+                       pa.get("value", "")
+                       for pa in child.iter("ParameterAssignment")}
+            for decl in entry.iter("ParameterDeclaration"):
+                assigns.setdefault(decl.get("name", "").lstrip("$"),
+                                   decl.get("value", ""))
+            for el in entry.iter():
+                for key, val in list(el.attrib.items()):
+                    if isinstance(val, str) and val.startswith("$") and \
+                            val[1:] in assigns:
+                        el.set(key, assigns[val[1:]])
+            parent.remove(child)
+            parent.insert(i, entry)
 
 
 def _world_position(node) -> tuple:
@@ -266,6 +330,7 @@ def _parse_action(action, default_entity) -> Optional[OscEvent]:
 
 def load_openscenario(path: str) -> OpenScenarioConfig:
     root = ET.parse(path).getroot()
+    _resolve_catalog_refs(root, _load_catalogs(root, os.path.dirname(path)))
     _apply_parameters(root)
 
     entities: Dict[str, OscEntity] = {}

@@ -256,3 +256,86 @@ def test_osc_assign_controller_action(tmp_path):
     assert isinstance(npc._control.controller, VehicleLongitudinalControl)
     assert npc._control.controller.target_speed == 5.0
     assert npc.pos[0] > 10.0                 # the plugin drives the actor
+
+
+def test_osc_catalog_reference_resolution(tmp_path):
+    """CatalogReference grafting: vehicle + controller entries resolved
+    from a catalog directory, with ParameterAssignments overriding the
+    entry's ParameterDeclarations defaults."""
+    from cadre_tpu.envs.openscenario import load_openscenario
+
+    cat_dir = tmp_path / "catalogs"
+    cat_dir.mkdir()
+    (cat_dir / "my_catalog.xosc").write_text("""<?xml version="1.0"?>
+<OpenSCENARIO>
+  <Catalog name="VehicleCatalog">
+    <Vehicle name="sedan" vehicleCategory="car"/>
+    <Pedestrian name="jaywalker"/>
+  </Catalog>
+  <Catalog name="ControllerCatalog">
+    <Controller name="longctrl">
+      <ParameterDeclarations>
+        <ParameterDeclaration name="Speed" parameterType="double" value="2.0"/>
+      </ParameterDeclarations>
+      <Properties>
+        <Property name="module"
+ value="cadre_tpu.envs.actor_controls.VehicleLongitudinalControl"/>
+        <Property name="target_speed" value="$Speed"/>
+      </Properties>
+    </Controller>
+  </Catalog>
+</OpenSCENARIO>
+""")
+    (tmp_path / "main.xosc").write_text("""<?xml version="1.0"?>
+<OpenSCENARIO>
+  <CatalogLocations>
+    <VehicleCatalog><Directory path="catalogs"/></VehicleCatalog>
+    <ControllerCatalog><Directory path="catalogs"/></ControllerCatalog>
+  </CatalogLocations>
+  <Entities>
+    <ScenarioObject name="hero"><Vehicle name="ego"/></ScenarioObject>
+    <ScenarioObject name="npc">
+      <CatalogReference catalogName="VehicleCatalog" entryName="sedan"/>
+    </ScenarioObject>
+    <ScenarioObject name="walker1">
+      <CatalogReference catalogName="VehicleCatalog" entryName="jaywalker"/>
+    </ScenarioObject>
+  </Entities>
+  <Storyboard>
+    <Init><Actions>
+      <Private entityRef="npc">
+        <PrivateAction><TeleportAction><Position>
+          <WorldPosition x="12" y="0" h="0"/>
+        </Position></TeleportAction></PrivateAction>
+      </Private>
+    </Actions></Init>
+    <Story name="s"><Act name="a"><ManeuverGroup name="mg">
+      <Actors><EntityRef entityRef="npc"/></Actors>
+      <Maneuver name="m"><Event name="ctrl" priority="overwrite">
+        <Action name="assign"><PrivateAction><ControllerAction>
+          <AssignControllerAction>
+            <CatalogReference catalogName="ControllerCatalog"
+                              entryName="longctrl">
+              <ParameterAssignments>
+                <ParameterAssignment parameterRef="Speed" value="7.5"/>
+              </ParameterAssignments>
+            </CatalogReference>
+          </AssignControllerAction>
+        </ControllerAction></PrivateAction></Action>
+        <StartTrigger><ConditionGroup><Condition name="t">
+          <ByValueCondition>
+            <SimulationTimeCondition value="0.0" rule="greaterThan"/>
+          </ByValueCondition>
+        </Condition></ConditionGroup></StartTrigger>
+      </Event></Maneuver>
+    </ManeuverGroup></Act></Story>
+  </Storyboard>
+</OpenSCENARIO>
+""")
+    cfg = load_openscenario(str(tmp_path / "main.xosc"))
+    assert cfg.entities["npc"].kind == "vehicle"
+    assert cfg.entities["walker1"].kind == "walker"
+    ev = next(e for e in cfg.events if e.action == "assign_controller")
+    assert ev.extra["module"].endswith("VehicleLongitudinalControl")
+    # ParameterAssignment 7.5 overrides the declaration default 2.0
+    assert ev.extra["args"]["target_speed"] == "7.5"
