@@ -343,44 +343,101 @@ class ControlledActorBehavior(OwnedActorBehavior):
         return not self.control.check_reached_waypoint_goal()
 
 
-class ChangeActorTargetSpeedBehavior(ScenarioBehavior):
+class UpdateAllActorControlsBehavior(ScenarioBehavior):
+    """UpdateAllActorControls (atomic_behaviors.py:318-360): execute one
+    control-loop step for every controller-bearing actor that no owning
+    behavior is already advancing. Stepped actors are marked managed so
+    the env integrator doesn't double-move them. Never finishes (the
+    reference's atomic returns RUNNING forever); build_manager installs
+    one per OpenSCENARIO scenario like the reference's OpenScenario
+    behavior tree does."""
+
+    def tick(self, env) -> bool:
+        for ob in list(getattr(env, "_obstacles", [])):
+            control = getattr(ob, "_control", None)
+            if control is None or getattr(ob, "_owner", None) is not None:
+                continue
+            ob.managed = True
+            control.run_step(env)
+        return True
+
+
+class ChangeActorTargetSpeedBehavior(OwnedActorBehavior):
     """ChangeActorTargetSpeed (atomic_behaviors.py:362-522): retarget an
-    actor's EXISTING controller (attaching a kind-default one if none),
-    timestamped so duplicate simultaneous commands collapse. One-shot."""
+    actor's EXISTING controller (one-shot; whoever owns the controller
+    keeps driving it), timestamped so duplicate simultaneous commands
+    collapse. If the actor has NO controller yet, a kind default is
+    attached and this behavior becomes its owner-stepper (the reference
+    stays RUNNING and UpdateAllActorControls advances the control)."""
 
     def __init__(self, ob, speed: float, start_time=None,
                  init_speed: bool = False):
         self._ob, self._speed = ob, speed
         self._start_time, self._init = start_time, init_speed
+        self._stepping = False
+        self._started = False
 
     def tick(self, env) -> bool:
-        control = getattr(self._ob, "_control", None)
-        if control is None:
-            control = ActorControl(self._ob)
-            self._ob._control = control
-        control.update_target_speed(self._speed,
-                                    start_time=self._start_time)
-        if self._init:
-            control.set_init_speed()
-        return False
+        if not self._started:
+            self._started = True
+            control = getattr(self._ob, "_control", None)
+            if control is None:
+                self._own(self._ob)
+                self._stepping = True
+                control = ActorControl(self._ob)
+                self._ob._control = control
+            control.update_target_speed(self._speed,
+                                        start_time=self._start_time)
+            if self._init:
+                control.set_init_speed()
+            if not self._stepping:
+                return False
+        if not self._stepping:
+            return False
+        return super().tick(env)
+
+    def _tick_owned(self, env) -> bool:
+        self._ob._control.run_step(env)
+        return True                       # RUNNING until taken over
 
 
-class ChangeActorWaypointsBehavior(ScenarioBehavior):
+class ChangeActorWaypointsBehavior(OwnedActorBehavior):
     """ChangeActorWaypoints (atomic_behaviors.py:523-609): hand a new
-    waypoint plan to the actor's existing controller. One-shot."""
+    waypoint plan to the actor's existing controller (one-shot). If the
+    actor has NO controller yet, a kind default is attached continuing at
+    the actor's current speed, and this behavior owner-steps it until the
+    plan's last waypoint is reached (the reference's RUNNING-until-goal)."""
 
     def __init__(self, ob, waypoints: Sequence, start_time=None):
         self._ob = ob
         self._wps = waypoints
         self._start_time = start_time
+        self._stepping = False
+        self._started = False
 
     def tick(self, env) -> bool:
-        control = getattr(self._ob, "_control", None)
-        if control is None:
-            control = ActorControl(self._ob)
-            self._ob._control = control
-        control.update_waypoints(self._wps, start_time=self._start_time)
-        return False
+        if not self._started:
+            self._started = True
+            control = getattr(self._ob, "_control", None)
+            if control is None:
+                self._own(self._ob)
+                self._stepping = True
+                control = ActorControl(self._ob)
+                control.update_target_speed(
+                    float(getattr(self._ob, "speed", 0.0)))
+                self._ob._control = control
+            control.update_waypoints(self._wps,
+                                     start_time=self._start_time)
+            if not self._stepping:
+                return False
+        if not self._stepping:
+            return False
+        return super().tick(env)
+
+    def _tick_owned(self, env) -> bool:
+        control = self._ob._control
+        control.run_step(env)
+        return not control.check_reached_waypoint_goal()
 
 
 class ChangeActorWaypointsToReachPositionBehavior(

@@ -7,15 +7,22 @@ path never uses it. This module provides the ASAM OpenSCENARIO 1.0 subset
 that maps onto our tick-driven behavior primitives (envs/scenarios.py):
 
   ParameterDeclarations + $refs .......... attribute substitution
+  CatalogLocations/CatalogReference ...... entry grafting + assignments
   Entities/ScenarioObject ................ actor roster
-  Init TeleportAction (WorldPosition) .... actor spawn pose
+  Init TeleportAction .................... actor spawn pose
+  World/RelativeWorld/RelativeObject pos . position forms (init-pose rel)
   Init/Event SpeedAction (abs/relative) .. KeepVelocityBehavior
+  SpeedActionDynamics distance/time ...... bounded speed hold
   LateralAction/LaneChangeAction ......... LaneChangeBehavior
   TeleportAction (storyboard) ............ ActorTransformSetterBehavior
+  RoutingAction/AssignRouteAction ........ ChangeActorWaypointsBehavior
+  RoutingAction/AcquirePositionAction .... ...ToReachPositionBehavior
   ActivateControllerAction ............... ChangeAutoPilotBehavior
   AssignControllerAction ................. actor_controls plugin dispatch
-  TrafficSignalStateAction ............... TrafficLightStateSetterBehavior
+  UserDefinedAction/CustomCommandAction .. RunScriptBehavior
+  TrafficSignalStateAction (id=/pos=) .... TrafficLightStateSetterBehavior
   EnvironmentAction/Weather .............. env weather preset switch
+  Act-level StartTrigger ................. gates every event in the act
   StartTrigger SimulationTimeCondition ... time trigger (at_tick)
   StartTrigger ReachPositionCondition .... distance trigger (pos)
   StandStillCondition .................... StandStill
@@ -23,6 +30,14 @@ that maps onto our tick-driven behavior primitives (envs/scenarios.py):
   SpeedCondition ......................... TriggerVelocity
   (Relative)DistanceCondition ............ InTriggerDistanceToVehicle
   TimeToCollisionCondition ............... InTimeToArrivalToVehicle
+  TimeHeadwayCondition ................... TimeHeadway
+  RelativeSpeedCondition ................. RelativeVelocityToOtherActor
+  AccelerationCondition .................. TriggerAcceleration
+  CollisionCondition (entity/any) ........ CollisionCondition
+  OffroadCondition ....................... Offroad (road envelope)
+  TrafficSignalCondition ................. WaitForTrafficLightState
+  TimeOfDayCondition ..................... TimeOfDayComparison
+  UserDefinedValueCondition .............. blackboard compare
   StoryboardElementStateCondition ........ blackboard completion flags
   Event StopTrigger ...................... Parallel(success_on_one) wrap
 
@@ -37,9 +52,11 @@ Controller's `module` property, else the kind default) wrapped in a
 controller path over srunner/scenariomanager/actorcontrols/.
 
 Out of scope (openscenario_parser.py features with no synthetic-world
-counterpart, closed in PARITY.md): catalogs, road-network
-LanePosition/RoutePosition coordinates, TimeOfDay animation, and
-traffic-definition swarms.
+counterpart, closed in PARITY.md): road-network Lane/Road/RoutePosition
+coordinates (no OpenDRIVE ids in the synthetic world), FollowTrajectory/
+Synchronize/Visibility/LongitudinalDistance actions (reference raises
+NotImplementedError for the latter three as well), and road-friction
+changes.
 
 `load_openscenario(path)` -> OpenScenarioConfig;
 `build_manager(cfg, env)` spawns the actors into a SimDrivingEnv-compatible
@@ -60,21 +77,31 @@ import numpy as np
 from cadre_tpu.envs.scenarios import (
     ActorTransformSetterBehavior,
     ChangeAutoPilotBehavior,
+    CollisionCondition,
     ConditionBehavior,
     DriveDistance,
+    ElapsedSimTime,
     InTimeToArrivalToVehicle,
+    InTriggerDistanceToLocation,
     InTriggerDistanceToVehicle,
     KeepVelocityBehavior,
     LaneChangeBehavior,
+    Offroad,
     ParallelBehavior,
+    RelativeVelocityToOtherActor,
+    RunScriptBehavior,
     ScenarioManager,
     ScenarioTrigger,
     SequenceBehavior,
     SetBlackboardVariableBehavior,
     StandStill,
+    TimeHeadway,
+    TimeOfDayComparison,
     TrafficLightStateSetterBehavior,
+    TriggerAcceleration,
     TriggerVelocity,
     WaitForBlackboardVariable,
+    WaitForTrafficLightState,
 )
 
 
@@ -100,12 +127,14 @@ class OscEvent:
     cond: Optional[dict] = None          # generic start condition spec
     stop: Optional[dict] = None          # StopTrigger condition spec
     extra: Optional[dict] = None         # action-specific payload
+    act_cond: Optional[dict] = None      # enclosing Act's StartTrigger
 
 
 @dataclasses.dataclass
 class OpenScenarioConfig:
     entities: Dict[str, OscEntity]
     events: List[OscEvent]
+    path: str = ""                       # source .xosc (RunScript base dir)
 
 
 def _apply_parameters(root) -> None:
@@ -186,12 +215,34 @@ def _resolve_catalog_refs(root, catalogs: Dict[str, Dict[str, Any]]) -> None:
             parent.insert(i, entry)
 
 
-def _world_position(node) -> tuple:
+def _world_position(node, entities: Optional[Dict[str, "OscEntity"]] = None
+                    ) -> tuple:
+    """Position subtree -> (xy, heading). WorldPosition plus the relative
+    forms (openscenario_parser.py convert_position_to_transform:411-509):
+    RelativeWorldPosition offsets in world axes, RelativeObjectPosition in
+    the referenced entity's frame. Relative refs resolve against the
+    entities' INIT poses (the reference resolves at behavior start — for
+    Init/teleport targets, which is where these forms appear, the two
+    coincide)."""
     wp = node.find(".//WorldPosition")
-    if wp is None:
-        return None, 0.0
-    pos = np.array([float(wp.get("x", 0)), float(wp.get("y", 0))])
-    return pos, float(wp.get("h", 0))
+    if wp is not None:
+        pos = np.array([float(wp.get("x", 0)), float(wp.get("y", 0))])
+        return pos, float(wp.get("h", 0))
+    for tag, in_frame in (("RelativeWorldPosition", False),
+                          ("RelativeObjectPosition", True)):
+        rel = node.find(f".//{tag}")
+        if rel is None:
+            continue
+        ent = (entities or {}).get(rel.get("entityRef", ""))
+        if ent is None or ent.pos is None:
+            return None, 0.0
+        dx, dy = float(rel.get("dx", 0)), float(rel.get("dy", 0))
+        h = ent.heading
+        if in_frame:
+            c, s = math.cos(h), math.sin(h)
+            dx, dy = c * dx - s * dy, s * dx + c * dy
+        return ent.pos + np.array([dx, dy]), h
+    return None, 0.0
 
 
 def _speed_target(node):
@@ -205,7 +256,7 @@ def _speed_target(node):
     return None, None
 
 
-def _entity_condition(cond_node) -> Optional[dict]:
+def _entity_condition(cond_node, entities=None) -> Optional[dict]:
     """ByEntityCondition subset -> condition spec dict."""
     ent_ref = cond_node.find(".//TriggeringEntities/EntityRef")
     who = ent_ref.get("entityRef") if ent_ref is not None else None
@@ -214,7 +265,7 @@ def _entity_condition(cond_node) -> Optional[dict]:
         return None
     reach = ec.find("ReachPositionCondition")
     if reach is not None:
-        pos, _ = _world_position(reach)
+        pos, _ = _world_position(reach, entities)
         tol = reach.get("tolerance")
         return dict(type="reach", entity=who, pos=pos,
                     tolerance=float(tol) if tol else None)
@@ -243,10 +294,32 @@ def _entity_condition(cond_node) -> Optional[dict]:
                     other=other.get("entityRef") if other is not None
                     else None,
                     value=float(ttc.get("value", 0)))
+    th = ec.find("TimeHeadwayCondition")
+    if th is not None:
+        return dict(type="headway", entity=who,
+                    other=th.get("entityRef"),
+                    value=float(th.get("value", 0)))
+    rs = ec.find("RelativeSpeedCondition")
+    if rs is not None:
+        return dict(type="relative_speed", entity=who,
+                    other=rs.get("entityRef"),
+                    value=float(rs.get("value", 0)))
+    acc = ec.find("AccelerationCondition")
+    if acc is not None:
+        return dict(type="acceleration", entity=who,
+                    value=float(acc.get("value", 0)))
+    col = ec.find("CollisionCondition")
+    if col is not None:
+        other = col.find(".//EntityRef")
+        return dict(type="collision", entity=who,
+                    other=other.get("entityRef") if other is not None
+                    else None)
+    if ec.find("OffroadCondition") is not None:
+        return dict(type="offroad", entity=who)
     return None
 
 
-def _parse_trigger(trigger_node) -> Optional[dict]:
+def _parse_trigger(trigger_node, entities=None) -> Optional[dict]:
     """First supported Condition under a Start/StopTrigger -> spec dict."""
     if trigger_node is None:
         return None
@@ -258,16 +331,37 @@ def _parse_trigger(trigger_node) -> Optional[dict]:
         return dict(type="element_state",
                     ref=el.get("storyboardElementRef", ""),
                     state=el.get("state", "completeState"))
+    ts = trigger_node.find(".//TrafficSignalCondition")
+    if ts is not None:
+        return dict(type="traffic_signal", name=ts.get("name", ""),
+                    state=ts.get("state", "red").lower())
+    uv = trigger_node.find(".//UserDefinedValueCondition")
+    if uv is not None:
+        return dict(type="user_value", name=uv.get("name", ""),
+                    value=uv.get("value", "true"))
+    tod = trigger_node.find(".//TimeOfDayCondition")
+    if tod is not None:
+        # dateTime HH:MM:SS -> seconds since the scenario's 00:00:00 sim
+        # clock (the reference compares against WeatherBehavior's animated
+        # blackboard Datetime; our sim clock starts the day at t=0)
+        stamp = tod.get("dateTime", "00:00:00").split("T")[-1]
+        try:
+            h, m, s = (float(x) for x in stamp.split(":"))
+            elapsed = h * 3600 + m * 60 + s
+        except ValueError:
+            elapsed = 0.0
+        return dict(type="time_of_day", value=elapsed)
     for cond in trigger_node.iterfind(".//Condition"):
         by_ent = cond.find("ByEntityCondition")
         if by_ent is not None:
-            spec = _entity_condition(by_ent)
+            spec = _entity_condition(by_ent, entities)
             if spec is not None:
                 return spec
     return None
 
 
-def _parse_action(action, default_entity) -> Optional[OscEvent]:
+def _parse_action(action, default_entity, entities=None
+                  ) -> Optional[OscEvent]:
     speed = action.find(".//SpeedAction")
     lane = action.find(".//LaneChangeAction")
     tele = action.find(".//TeleportAction")
@@ -275,12 +369,48 @@ def _parse_action(action, default_entity) -> Optional[OscEvent]:
     ctrl = action.find(".//ActivateControllerAction")
     sig = action.find(".//TrafficSignalStateAction")
     weather = action.find(".//EnvironmentAction//Weather")
+    routing = action.find(".//RoutingAction")
+    custom = action.find(".//CustomCommandAction")
     if speed is not None:
         v, rel = _speed_target(speed)
         if v is None:
             return None
-        return OscEvent(default_entity, "speed", v,
-                        extra=dict(relative_to=rel) if rel else None)
+        extra: Dict[str, Any] = dict(relative_to=rel) if rel else {}
+        # SpeedActionDynamics dynamicsDimension: a 'distance'/'time' value
+        # bounds how long the retargeted speed is held
+        # (openscenario_parser.py:957-963 -> ChangeActorTargetSpeed)
+        dyn = speed.find("SpeedActionDynamics")
+        if dyn is not None and dyn.get("value") is not None:
+            dim = dyn.get("dynamicsDimension", "time")
+            key = "distance" if dim == "distance" else "duration"
+            try:
+                extra[key] = float(dyn.get("value"))
+            except (TypeError, ValueError):
+                pass
+        return OscEvent(default_entity, "speed", v, extra=extra or None)
+    if routing is not None:
+        assign_route = routing.find(".//AssignRouteAction")
+        if assign_route is not None:
+            wps = []
+            for wp in assign_route.iterfind(".//Waypoint"):
+                pos, _ = _world_position(wp, entities)
+                if pos is not None:
+                    wps.append(pos)
+            if wps:
+                return OscEvent(default_entity, "route", 0.0,
+                                extra=dict(waypoints=wps))
+            return None
+        acquire = routing.find(".//AcquirePositionAction")
+        if acquire is not None:
+            pos, _ = _world_position(acquire, entities)
+            if pos is None:
+                return None
+            return OscEvent(default_entity, "acquire", 0.0,
+                            extra=dict(pos=pos))
+        return None
+    if custom is not None:
+        return OscEvent(default_entity, "run_script", 0.0,
+                        extra=dict(command=custom.get("type", "")))
     if lane is not None:
         tgt = lane.find(".//RelativeTargetLane")
         if tgt is not None:
@@ -290,7 +420,7 @@ def _parse_action(action, default_entity) -> Optional[OscEvent]:
             lanes = int(abs_tgt.get("value", 1)) if abs_tgt is not None else 1
         return OscEvent(default_entity, "lane_change", 3.5 * lanes)
     if tele is not None:
-        pos, h = _world_position(tele)
+        pos, h = _world_position(tele, entities)
         if pos is None:
             return None
         return OscEvent(default_entity, "teleport", 0.0,
@@ -346,38 +476,52 @@ def load_openscenario(path: str) -> OpenScenarioConfig:
             continue
         tele = private.find(".//TeleportAction")
         if tele is not None:
-            ent.pos, ent.heading = _world_position(tele)
+            ent.pos, ent.heading = _world_position(tele, entities)
         speed = private.find(".//SpeedAction")
         if speed is not None:
             v, _ = _speed_target(speed)
             if v is not None:
                 ent.speed = v
 
-    # Storyboard events
+    # Storyboard events (Act-level StartTriggers gate every event inside
+    # the act, like the py_trees act subtree's idle decorator)
     events: List[OscEvent] = []
+    seen: set = set()
+    for act in root.iterfind(".//Act"):
+        act_cond = _parse_trigger(act.find("StartTrigger"), entities)
+        for group in act.iterfind(".//ManeuverGroup"):
+            seen.add(id(group))
+            _collect_group_events(group, act_cond, entities, events)
     for group in root.iterfind(".//ManeuverGroup"):
-        actor_ref = group.find(".//Actors/EntityRef")
-        default_entity = actor_ref.get("entityRef") if actor_ref is not None \
-            else None
-        for event in group.iterfind(".//Event"):
-            cond = _parse_trigger(event.find("StartTrigger"))
-            stop = _parse_trigger(event.find("StopTrigger"))
-            for action in event.iterfind("Action"):
-                ev = _parse_action(action, default_entity)
-                if ev is None:
-                    continue
-                ev.name = event.get("name", "") or action.get("name", "")
-                ev.cond = cond
-                ev.stop = stop
-                if cond is not None:
-                    # legacy convenience fields for the two common cases
-                    if cond["type"] == "time":
-                        ev.at_time = cond["value"]
-                    elif cond["type"] == "reach":
-                        ev.at_pos = cond["pos"]
-                        ev.tolerance = cond.get("tolerance")
-                events.append(ev)
-    return OpenScenarioConfig(entities=entities, events=events)
+        if id(group) not in seen:       # tolerated subset: group w/o an Act
+            _collect_group_events(group, None, entities, events)
+    return OpenScenarioConfig(entities=entities, events=events, path=path)
+
+
+def _collect_group_events(group, act_cond, entities,
+                          events: List[OscEvent]) -> None:
+    actor_ref = group.find(".//Actors/EntityRef")
+    default_entity = actor_ref.get("entityRef") if actor_ref is not None \
+        else None
+    for event in group.iterfind(".//Event"):
+        cond = _parse_trigger(event.find("StartTrigger"), entities)
+        stop = _parse_trigger(event.find("StopTrigger"), entities)
+        for action in event.iterfind("Action"):
+            ev = _parse_action(action, default_entity, entities)
+            if ev is None:
+                continue
+            ev.name = event.get("name", "") or action.get("name", "")
+            ev.cond = cond
+            ev.stop = stop
+            ev.act_cond = act_cond
+            if cond is not None:
+                # legacy convenience fields for the two common cases
+                if cond["type"] == "time":
+                    ev.at_time = cond["value"]
+                elif cond["type"] == "reach":
+                    ev.at_pos = cond["pos"]
+                    ev.tolerance = cond.get("tolerance")
+            events.append(ev)
 
 
 def _resolve(actors: Dict[str, Any], ref: Optional[str], ego_name: str):
@@ -386,9 +530,68 @@ def _resolve(actors: Dict[str, Any], ref: Optional[str], ego_name: str):
     return actors.get(ref)
 
 
-def _make_condition(spec: dict, actors: Dict[str, Any], ego_name: str):
+def _find_light(env, name: str):
+    """Resolve a traffic light from an OSC signal name — 'id=<n>' indexes
+    the env's light list, 'pos=x,y' picks the nearest light (the
+    reference's get_traffic_light_from_osc_name, openscenario_parser.py:98-128)."""
+    lights = list(getattr(env, "_lights", []) or [])
+    if not lights:
+        return None
+    if name.startswith("id="):
+        try:
+            return lights[int(name[3:]) % len(lights)]
+        except ValueError:
+            return lights[0]
+    if name.startswith("pos="):
+        try:
+            x, y = (float(v) for v in name[4:].split(","))
+        except ValueError:
+            return lights[0]
+        return min(lights, key=lambda li: float(
+            np.hypot(li.pos[0] - x, li.pos[1] - y)))
+    return lights[0]
+
+
+def _make_condition(spec: dict, actors: Dict[str, Any], ego_name: str,
+                    env=None):
     """Condition spec -> scenarios.Condition (None when unmappable)."""
     who = _resolve(actors, spec.get("entity"), ego_name)
+    if spec["type"] == "time":
+        return ElapsedSimTime(spec["value"])
+    if spec["type"] == "time_of_day":
+        return TimeOfDayComparison(spec["value"])
+    if spec["type"] == "reach":
+        return InTriggerDistanceToLocation(
+            who, spec["pos"], spec.get("tolerance") or 2.0)
+    if spec["type"] == "headway":
+        other = _resolve(actors, spec.get("other"), ego_name)
+        if other is None:
+            return None
+        return TimeHeadway(who, other, spec["value"])
+    if spec["type"] == "relative_speed":
+        other = _resolve(actors, spec.get("other"), ego_name)
+        if other is None:
+            return None
+        return RelativeVelocityToOtherActor(who, other, spec["value"])
+    if spec["type"] == "acceleration":
+        return TriggerAcceleration(who, spec["value"])
+    if spec["type"] == "collision":
+        other = spec.get("other")
+        return CollisionCondition(
+            who, _resolve(actors, other, ego_name) if other else None)
+    if spec["type"] == "offroad":
+        return Offroad(who)
+    if spec["type"] == "traffic_signal":
+        light = _find_light(env, spec.get("name", "")) if env is not None \
+            else None
+        if light is None:
+            return None
+        return WaitForTrafficLightState(light, spec["state"])
+    if spec["type"] == "user_value":
+        value: Any = spec.get("value", "true")
+        if value in ("true", "false"):
+            value = value == "true"
+        return WaitForBlackboardVariable(spec["name"], value)
     if spec["type"] == "standstill":
         return StandStill(who, duration=spec["duration"])
     if spec["type"] == "traveled":
@@ -456,7 +659,30 @@ def build_manager(cfg: OpenScenarioConfig, env,
                 base_v = env._speed if base == "ego" else \
                     getattr(base, "speed", 0.0)
                 v = float(base_v) + v
-            return KeepVelocityBehavior(ob, speed=v, distance=math.inf)
+            # SpeedActionDynamics bounds (ChangeActorTargetSpeed's
+            # distance/duration): hold v for `distance` meters, or cut the
+            # hold after `duration` seconds via a parallel timer
+            distance = extra.get("distance", math.inf)
+            keep = KeepVelocityBehavior(ob, speed=v, distance=distance)
+            duration = extra.get("duration")
+            if duration is not None and math.isfinite(duration):
+                from cadre_tpu.envs.scenarios import IdleBehavior
+                ticks = max(1, int(round(duration / env.dt)))
+                return ParallelBehavior([keep, IdleBehavior(ticks)],
+                                        success_on_one=True)
+            return keep
+        if ev.action == "route":
+            from cadre_tpu.envs.actor_controls import \
+                ChangeActorWaypointsBehavior
+            return ChangeActorWaypointsBehavior(ob, extra["waypoints"])
+        if ev.action == "acquire":
+            from cadre_tpu.envs.actor_controls import \
+                ChangeActorWaypointsToReachPositionBehavior
+            return ChangeActorWaypointsToReachPositionBehavior(
+                ob, extra["pos"])
+        if ev.action == "run_script":
+            return RunScriptBehavior(extra["command"],
+                                     base_path=cfg_base_path)
         if ev.action == "lane_change":
             return LaneChangeBehavior(ob, offset=ev.value)
         if ev.action == "teleport":
@@ -473,11 +699,10 @@ def build_manager(cfg: OpenScenarioConfig, env,
                 target_speed=getattr(ob, "speed", 0.0) or None,
                 init_speed=True)
         if ev.action == "signal":
-            lights = list(getattr(env, "_lights", []) or [])
-            if not lights:
+            light = _find_light(env, extra.get("name", ""))
+            if light is None:
                 return SequenceBehavior([])
-            return TrafficLightStateSetterBehavior(lights[0],
-                                                   extra["state"])
+            return TrafficLightStateSetterBehavior(light, extra["state"])
         if ev.action == "weather":
             class _SetWeather:
                 def tick(self, env, _preset=extra["preset"]):
@@ -486,9 +711,22 @@ def build_manager(cfg: OpenScenarioConfig, env,
             return _SetWeather()
         raise ValueError(f"unknown xosc action {ev.action!r}")
 
+    cfg_base_path = os.path.dirname(cfg.path) if cfg.path else None
+
+    # the reference's OpenScenario tree runs UpdateAllActorControls in
+    # parallel to the storyboard so retargeted controllers (route/speed
+    # changes on actors without an owning behavior) actually drive
+    def _update_controls_builder(env, rng):
+        from cadre_tpu.envs.actor_controls import \
+            UpdateAllActorControlsBehavior
+        return UpdateAllActorControlsBehavior()
+    triggers.append(ScenarioTrigger(kind="xosc:update_controls", at_tick=1,
+                                    builder=_update_controls_builder))
+
     for ev in cfg.events:
         ob = actors.get(ev.entity)
-        if ob is None and ev.action not in ("signal", "weather"):
+        if ob is None and ev.action not in ("signal", "weather",
+                                            "run_script"):
             continue
 
         class _Lazy:
@@ -526,12 +764,20 @@ def build_manager(cfg: OpenScenarioConfig, env,
                 # behavior; the trigger itself fires immediately
                 if ev.cond is not None and \
                         ev.cond["type"] not in ("time", "reach"):
-                    cond = _make_condition(ev.cond, actors, ego_name)
+                    cond = _make_condition(ev.cond, actors, ego_name, env)
                     if cond is not None:
                         chain.insert(0, ConditionBehavior(cond))
+                # the enclosing Act's StartTrigger gates ahead of the
+                # event's own trigger (py_trees act-subtree ordering)
+                if ev.act_cond is not None:
+                    act_c = _make_condition(ev.act_cond, actors, ego_name,
+                                            env)
+                    if act_c is not None:
+                        chain.insert(0, ConditionBehavior(act_c))
                 seq: Any = SequenceBehavior(chain)
                 if ev.stop is not None:
-                    stop_cond = _make_condition(ev.stop, actors, ego_name)
+                    stop_cond = _make_condition(ev.stop, actors, ego_name,
+                                                env)
                     if stop_cond is not None:
                         # StopTrigger: the event aborts when the stop
                         # condition fires first (SUCCESS_ON_ONE)

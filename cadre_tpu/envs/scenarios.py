@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -1120,6 +1121,114 @@ class InTimeToArrivalToVehicleSideLane(Condition):
         if v < 1e-3:
             return d < 0.5
         return d / v < self._time
+
+
+class ElapsedSimTime(Condition):
+    """True once the sim clock passes `seconds` (OpenSCENARIO
+    SimulationTimeCondition used as an Act/Stop gate). Reads the env's
+    step counter when it maintains one, else counts its own evaluation
+    ticks from arming."""
+
+    def __init__(self, seconds: float):
+        self._t, self._n = seconds, 0
+
+    def __call__(self, env) -> bool:
+        self._n += 1
+        steps = getattr(env, "_step_count", None)
+        if steps is None:
+            steps = self._n
+        return steps * env.dt >= self._t
+
+
+class TimeHeadway(Condition):
+    """True when the gap to `other` divided by the actor's own speed drops
+    below `value` seconds (atomic_trigger_conditions.py
+    InTimeHeadwayToVehicle semantics of TimeHeadwayCondition:
+    openscenario_parser.py:666-692)."""
+
+    def __init__(self, ob, other, value: float):
+        self._a, self._b, self._value = ob, other, value
+
+    def __call__(self, env) -> bool:
+        d = float(np.hypot(*(_actor_pos(env, self._a)
+                             - _actor_pos(env, self._b))))
+        v = _actor_speed(env, self._a)
+        if v < 1e-3:
+            return False
+        return d / v < self._value
+
+
+class CollisionCondition(Condition):
+    """True when the actor's bounding circle touches `other`'s (or ANY
+    other actor's when other is None) — openscenario_parser.py:627-659
+    CollisionCondition over the collision criterion."""
+
+    def __init__(self, ob, other: Any = None):
+        self._ob, self._other = ob, other
+
+    @staticmethod
+    def _radius(ob) -> float:
+        return float(getattr(ob, "radius", 1.2))
+
+    def __call__(self, env) -> bool:
+        pa = _actor_pos(env, self._ob)
+        ra = 1.2 if self._ob == "ego" else self._radius(self._ob)
+        if self._other is not None:
+            pb = _actor_pos(env, self._other)
+            rb = 1.2 if self._other == "ego" else self._radius(self._other)
+            return float(np.hypot(*(pa - pb))) < ra + rb
+        candidates: List[Any] = ["ego"] if self._ob != "ego" else []
+        candidates += [o for o in getattr(env, "_obstacles", [])
+                       if o is not self._ob]
+        for other in candidates:
+            pb = _actor_pos(env, other)
+            rb = 1.2 if other == "ego" else self._radius(other)
+            if float(np.hypot(*(pa - pb))) < ra + rb:
+                return True
+        return False
+
+
+class Offroad(Condition):
+    """True while the actor sits outside the two-lane road envelope around
+    the env's dense route centerline (openscenario_parser.py:660-665
+    OffroadCondition -> OffRoadTest; envelope = route_fig.OUT_LEFT/RIGHT,
+    the same bounds the OutsideRouteLanes criterion uses)."""
+
+    def __init__(self, ob):
+        self._ob = ob
+
+    def __call__(self, env) -> bool:
+        route = getattr(env, "_route_xy", None)
+        if route is None:
+            return False
+        from cadre_tpu.envs.route_fig import (
+            outside_route_lanes,
+            signed_route_lateral,
+        )
+        return outside_route_lanes(
+            signed_route_lateral(route, _actor_pos(env, self._ob)))
+
+
+class RunScriptBehavior(ScenarioBehavior):
+    """Atomic RunScript (atomic_behaviors.py:137-175): launch an external
+    command, fire-and-forget. Intended for OpenSCENARIO
+    CustomCommandAction; like the reference, the scenario file is trusted
+    content — be aware of the security surface before loading foreign
+    .xosc files."""
+
+    def __init__(self, script: str, base_path: Optional[str] = None):
+        self._script, self._base = script, base_path
+
+    def tick(self, env) -> bool:
+        import shlex
+        import subprocess
+        argv = shlex.split(self._script)
+        if self._base and argv and not os.path.isabs(argv[-1]):
+            candidate = os.path.join(self._base, argv[-1])
+            if os.path.exists(candidate):
+                argv[-1] = candidate
+        subprocess.Popen(argv)
+        return False
 
 
 class WaitForBlackboardVariable(Condition):

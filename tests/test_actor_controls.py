@@ -171,13 +171,17 @@ def test_controlled_actor_behavior_ownership_and_finish():
 def test_change_target_speed_and_waypoints_behaviors():
     env = _Env()
     ob = _ob("vehicle")
-    assert ChangeActorTargetSpeedBehavior(ob, 6.0, init_speed=True)\
-        .tick(env) is False
+    # no controller yet: the behavior attaches a kind default and becomes
+    # its owner-stepper (reference RUNNING + UpdateAllActorControls)
+    b = ChangeActorTargetSpeedBehavior(ob, 6.0, init_speed=True)
+    assert b.tick(env) is True
     control = ob._control
     assert control.controller.target_speed == 6.0
+    assert ob.speed == 6.0                   # init_speed applied + stepped
+    # controller exists now: plan updates are one-shot, the owner drives
     assert ChangeActorWaypointsBehavior(ob, [[3.0, 0.0]]).tick(env) is False
     assert ob._control is control            # reuses the controller
-    control.run_step(env)
+    assert b.tick(env) is True               # the owner keeps stepping
     assert ob.speed == 6.0
     ChangeActorWaypointsToReachPositionBehavior(ob, (9.0, 0.0)).tick(env)
     np.testing.assert_allclose(control.controller.waypoints[0], [9.0, 0.0])
