@@ -105,8 +105,20 @@ def run(args) -> dict:
         iteration, init_carry = make_device_iteration(
             agent, env, RolloutConfig(num_steps=args.steps), TrainConfig())
         jit_it = jax.jit(iteration, donate_argnums=(2, 3))
+        snap_offset = 0
+        if args.warm_start and snaps:
+            # continuation run: resume the policy from the newest snapshot
+            # and number new snapshots on from it so the ensemble eval
+            # picks up the latest members (run_device_scale.py's pattern)
+            import re
+
+            agent.load_snapshot(snaps[-1])
+            snap_offset = int(re.search(r"snap_(\d+)",
+                                        snaps[-1]).group(1))
+            print(f"warm-start from {snaps[-1]} "
+                  f"(snap offset {snap_offset})", flush=True)
         opt_state = make_optimizer(agent.ppo_cfg).init(agent.params)
-        rng = jax.random.PRNGKey(args.seed + 1)
+        rng = jax.random.PRNGKey(args.seed + 1 + snap_offset)
         rng, k0 = jax.random.split(rng)
         carry = init_carry(agent.danet_vars, k0)
         params = agent.params
@@ -134,8 +146,9 @@ def run(args) -> dict:
                       f"{rows[-1]['mean_completion']:.2%}", flush=True)
             if (i + 1) % args.snap_every == 0:
                 agent.params = params
-                path = os.path.join(args.workdir,
-                                    f"snap_{i + 1:05d}.msgpack")
+                path = os.path.join(
+                    args.workdir,
+                    f"snap_{snap_offset + i + 1:05d}.msgpack")
                 agent.save_snapshot(path)
                 snaps.append(path)
         train_wall = time.time() - t0
@@ -199,7 +212,7 @@ def run(args) -> dict:
                      "on-route; train [150,0] -> 8 vehicles")),
         config=dict(iterations=args.iterations, num_envs=args.num_envs,
                     steps=args.steps, encoder=args.encoder,
-                    seed=args.seed,
+                    seed=args.seed, warm_start=bool(args.warm_start),
                     total_env_steps=args.iterations * args.steps
                     * args.num_envs),
         train=dict(wall_s=round(train_wall, 1) if train_wall else None,
@@ -222,6 +235,9 @@ def main():
     p.add_argument("--eval-steps", type=int, default=8000)
     p.add_argument("--encoder", default=None)
     p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--warm-start", action="store_true",
+                   help="resume training from the newest workdir snapshot "
+                        "(continuation runs past the base budget)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workdir", default="/tmp/device_scale/nocrash")
     p.add_argument("--out", default="BENCH_r4_nocrash.json")
