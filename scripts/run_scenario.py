@@ -1,0 +1,111 @@
+"""Standalone scenario runner: the upstream scenario_runner CLI's role.
+
+Upstream carla scenario_runner ships a `scenario_runner.py` entry point
+that executes a named scenario class or an OpenSCENARIO file against a
+live world and prints a criteria report (the vendored copy in the
+reference keeps only the srunner package; the CLI surface re-created
+here is the subset the CADRE workflows use). This runner drives a
+`SimDrivingEnv` episode with the oracle expert at the wheel, fires the
+requested scenario (registry kind or .xosc storyboard), and renders the
+`ResultOutputProvider` report (terminal, file, or JUnit).
+
+Usage:
+  python scripts/run_scenario.py --list
+  python scripts/run_scenario.py --scenario dynamic_object_crossing
+  python scripts/run_scenario.py --openscenario my_story.xosc --junit out.xml
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def run(args) -> int:
+    from cadre_tpu.envs.expert import OracleExpert
+    from cadre_tpu.envs.result_writer import ResultOutputProvider
+    from cadre_tpu.envs.scenarios import (
+        _BEHAVIOR_BUILDERS,
+        ScenarioManager,
+        ScenarioTrigger,
+    )
+    from cadre_tpu.envs.sim_env import SimDrivingEnv
+
+    if args.list:
+        print("\n".join(sorted(_BEHAVIOR_BUILDERS)))
+        return 0
+
+    env = SimDrivingEnv(seed=args.seed)
+    tick = env.reset()
+    name = args.scenario or args.openscenario
+    if args.openscenario:
+        from cadre_tpu.envs.openscenario import (
+            build_manager,
+            load_openscenario,
+        )
+        mgr = build_manager(load_openscenario(args.openscenario), env)
+    elif args.scenario:
+        if args.scenario not in _BEHAVIOR_BUILDERS:
+            print(f"unknown scenario {args.scenario!r}; --list shows the "
+                  "registry", file=sys.stderr)
+            return 2
+        # trigger where the route passes ~25 m in (the annotation-matching
+        # path pins triggers to scenario JSON transforms; a standalone run
+        # fires on approach like srunner's route position args)
+        route = env._route_xy
+        idx = min(int(args.trigger_dist), len(route) - 1)
+        mgr = ScenarioManager(
+            [ScenarioTrigger(args.scenario, pos=route[idx])],
+            rng=np.random.RandomState(args.seed))
+    else:
+        print("one of --scenario/--openscenario/--list is required",
+              file=sys.stderr)
+        return 2
+
+    expert = OracleExpert()
+    timeout_s = args.timeout if args.timeout else \
+        0.8 * float(np.hypot(*np.diff(env._route_xy, axis=0).T).sum()) + 5.0
+    t0 = time.time()
+    steps = 0
+    done = False
+    while not done and steps * env.dt < timeout_s:
+        mgr.tick(env)
+        steer, throttle, brake = expert.act(env, tick)
+        tick, _, done, info = env.step([steer, throttle, brake])
+        steps += 1
+    duration_game = steps * env.dt
+    timed_out = not done and duration_game >= timeout_s
+
+    report = ResultOutputProvider(
+        scenario_name=name, criteria=env._criteria,
+        duration_game=duration_game,
+        duration_system=time.time() - t0,
+        timeout=timeout_s, timed_out=timed_out,
+        other_actors=[f"{ob.kind}@{np.round(ob.pos, 1).tolist()}"
+                      for ob in env._obstacles])
+    report.write(stdout=True, filename=args.output_file, junit=args.junit)
+    return 0 if report.result() == "SUCCESS" else 1
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scenario", default=None,
+                   help="registry kind (see --list)")
+    p.add_argument("--openscenario", default=None, help=".xosc file")
+    p.add_argument("--list", action="store_true",
+                   help="print the scenario registry and exit")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--timeout", type=float, default=None,
+                   help="game-time budget in s (default: route-length "
+                        "scaled, route_scenario.py:271-283)")
+    p.add_argument("--trigger-dist", type=float, default=25.0,
+                   help="meters along the route where the scenario fires")
+    p.add_argument("--output-file", default=None)
+    p.add_argument("--junit", default=None)
+    sys.exit(run(p.parse_args()))
+
+
+if __name__ == "__main__":
+    main()
