@@ -51,6 +51,13 @@ class AutonomousAgent:
                         ) -> None:
         import numpy as np
 
+        # keep the pre-downsample plan too: the reference's NpcAgent
+        # re-derives dense geometry from the CARLA map (BasicAgent
+        # _trace_route) between the 50 m-sparse points; in the synthetic
+        # world the dense plan IS that map geometry (and the reference
+        # EnvWrapper itself feeds the dense `_plan_gps_HACK` to its
+        # planner, env_wrapper.py:346-354)
+        self._raw_plan_world_coord = list(global_plan_world_coord)
         xy = np.asarray([(p[0].location.x, p[0].location.y)
                          if hasattr(p[0], "location") else p[0][:2]
                          for p in global_plan_world_coord])
