@@ -210,8 +210,11 @@ class SimpleVehicleControl(ActorController):
         for light in getattr(env, "_lights", []) or []:
             if getattr(light, "state", "") != "red":
                 continue
-            d = float(np.hypot(*(np.asarray(light.pos, float)
-                                 - self.ob.pos)))
+            # TrafficLightInfo carries `center`; bare test doubles `pos`
+            xy = np.asarray(getattr(light, "center",
+                                    getattr(light, "pos", (0.0, 0.0))),
+                            float)
+            d = float(np.hypot(*(xy - self.ob.pos)))
             if d < max(10.0, self.ob.speed * 3.0):
                 return True
         return False

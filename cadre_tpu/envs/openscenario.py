@@ -547,8 +547,12 @@ def _find_light(env, name: str):
             x, y = (float(v) for v in name[4:].split(","))
         except ValueError:
             return lights[0]
+
+        def _xy(li):
+            return np.asarray(getattr(li, "center",
+                                      getattr(li, "pos", (0, 0))), float)
         return min(lights, key=lambda li: float(
-            np.hypot(li.pos[0] - x, li.pos[1] - y)))
+            np.hypot(*(_xy(li) - (x, y)))))
     return lights[0]
 
 
