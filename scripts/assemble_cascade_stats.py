@@ -23,6 +23,14 @@ import numpy as np
 METRICS = ["mean_completion", "mean_driving_score"]
 
 
+def _tcrit(df: float) -> float:
+    """Two-sided 95% Student-t critical value (z=1.96 understates CIs at
+    n=5 seeds/arm — t(4)=2.78)."""
+    from scipy.stats import t
+
+    return float(t.ppf(0.975, max(df, 1.0)))
+
+
 def _ci(vals):
     v = np.asarray(vals, float)
     n = len(v)
@@ -30,7 +38,8 @@ def _ci(vals):
     if n < 2:
         return dict(n=n, mean=round(mean, 4), ci95=None, values=list(v))
     sem = float(np.std(v, ddof=1)) / math.sqrt(n)
-    return dict(n=n, mean=round(mean, 4), ci95=round(1.96 * sem, 4),
+    return dict(n=n, mean=round(mean, 4),
+                ci95=round(_tcrit(n - 1) * sem, 4),
                 values=[round(float(x), 4) for x in v])
 
 
@@ -89,10 +98,14 @@ def main():
             t = arms["trained"][m]
             r = arms["random"][m]
             if t["n"] >= 2 and r["n"] >= 2:
-                # Welch normal-approx CI on the difference of seed means
+                # Welch CI on the difference of seed means, with the
+                # Welch-Satterthwaite df and Student-t critical value
                 st = (np.std(t["values"], ddof=1) ** 2) / t["n"]
                 sr = (np.std(r["values"], ddof=1) ** 2) / r["n"]
-                half = 1.96 * math.sqrt(st + sr)
+                df = (st + sr) ** 2 / (
+                    st ** 2 / max(t["n"] - 1, 1)
+                    + sr ** 2 / max(r["n"] - 1, 1) + 1e-12)
+                half = _tcrit(df) * math.sqrt(st + sr)
                 gap = t["mean"] - r["mean"]
                 gaps[m] = dict(gap=round(gap, 4), ci95=round(half, 4),
                                excludes_zero=bool(abs(gap) > half),
