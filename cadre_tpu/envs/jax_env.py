@@ -40,10 +40,13 @@ reward table):
     driving score only, never the training reward/termination.
   - adversarial scenario behaviors (ScenarioManager) stay host-side; the
     device env covers background vehicles/walkers (walkers wander exactly as
-    in SimDrivingEnv._world_step) plus an in-graph Scenario-3 analog:
-    `JaxEnvConfig.n_hazards` crossing pedestrians armed beside the route
-    that spring when the ego closes within `hazard_trigger` m
-    (srunner DynamicObjectCrossing, object_crash_vehicle.py:1-200).
+    in SimDrivingEnv._world_step) plus in-graph Scenario-3 AND Scenario-4
+    analogs: `JaxEnvConfig.n_hazards` crossing pedestrians armed beside the
+    route (srunner DynamicObjectCrossing, object_crash_vehicle.py:1-200)
+    and `n_junction_hazards` cyclist-class crossers armed at the
+    signalized junctions (VehicleTurningRoute,
+    object_crash_intersection.py:689), both springing when the ego closes
+    within `hazard_trigger` m.
   - VEHICLE_BLOCKED comes from the reward-path 400-step timeout only (it
     fires at 40 s, long before the 180 s criteria test would).
   - rgb route markers come from a 64-waypoint window ahead of the planner
@@ -158,6 +161,13 @@ class JaxEnvConfig:
     n_hazards: int = 0
     hazard_trigger: float = 12.0   # spring distance (m)
     hazard_offset: float = 5.0     # lateral spawn offset from the route (m)
+    # Scenario-4-style junction crossers (srunner VehicleTurningRoute /
+    # object_crash_intersection.py): CYCLIST-class adversaries (vehicle
+    # collision class, the reference's vehicle.diamondback.century
+    # blueprint) armed beside a signalized junction (the route's corner
+    # lights), springing into a straight crossing drive on approach.
+    n_junction_hazards: int = 0
+    junction_hazard_speed: Tuple[float, float] = (2.5, 4.0)
     # in-graph priority route curriculum (PriorityRouteIndexer,
     # leaderboard/utils/priority_route_indexer.py:42-61): each env keeps a
     # per-route priority table (init 100; on episode end priority[route] =
@@ -1033,8 +1043,13 @@ def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key,
 
     # at least one (inert, far-away) obstacle row so the collision and
     # obstacle-cone reductions never run over a zero-length axis
-    m = max(cfg.n_vehicles + cfg.n_walkers + cfg.n_hazards, 1)
-    keys = jax.random.split(k_obs, 7)
+    m = max(cfg.n_vehicles + cfg.n_walkers + cfg.n_hazards
+            + cfg.n_junction_hazards, 1)
+    # 7-way split as before junction hazards existed; the two extra keys
+    # derive via fold_in so every pre-existing config's spawn stream stays
+    # bit-identical (mid-grid reproducibility)
+    keys = list(jax.random.split(k_obs, 7)) + \
+        [jax.random.fold_in(k_obs, 101), jax.random.fold_in(k_obs, 102)]
     lo = rlen // 4
     idx = jax.random.randint(keys[0], (m,), 0, 1 << 30) % \
         jnp.maximum(rlen - lo, 1) + lo
@@ -1058,7 +1073,8 @@ def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key,
     # crossing hazards (DynamicObjectCrossing, object_crash_vehicle.py):
     # armed at `hazard_offset` m beside a route point, speed 0 until sprung,
     # heading pointing back across the route
-    is_hazard = rank >= (cfg.n_vehicles + cfg.n_walkers)
+    is_hazard = (rank >= (cfg.n_vehicles + cfg.n_walkers)) & \
+        (rank < (cfg.n_vehicles + cfg.n_walkers + cfg.n_hazards))
     dnext = route[jnp.minimum(idx + 2, rlen - 1)] - base
     dnorm = dnext / jnp.maximum(
         jnp.linalg.norm(dnext, axis=-1, keepdims=True), 1e-6)
@@ -1075,7 +1091,40 @@ def _reset_one(cfg: JaxEnvConfig, bank: RouteBank, key,
         is_hazard,
         jax.random.uniform(keys[5], (m,), minval=1.2, maxval=2.0), 0.0)
 
-    real = rank < (cfg.n_vehicles + cfg.n_walkers + cfg.n_hazards)
+    # junction crossers (VehicleTurningRoute, object_crash_intersection.py:
+    # 689 — the crosser IS a cyclist, vehicle collision class): armed
+    # beside a signalized junction (the corner lights carry the junction
+    # centers + route direction), crossing perpendicular to the route.
+    # Routes with fewer lights than crossers leave the extras on the _FAR
+    # light pad — never sprung, invisible, exactly like absent scenarios.
+    is_jhazard = rank >= (cfg.n_vehicles + cfg.n_walkers + cfg.n_hazards)
+    if cfg.n_junction_hazards > 0:
+        jl = bank.lights[route_id]
+        n_live = jnp.sum(jl[:, 0] < _FAR / 2)   # live slots lead the pad
+        l_idx = jax.random.randint(keys[7], (m,), 0, 1 << 30) \
+            % jnp.maximum(n_live, 1)
+        jxy = jl[l_idx, :2]
+        jdir = jl[l_idx, 3:5]
+        jperp = jnp.stack([-jdir[:, 1], jdir[:, 0]], axis=-1)
+        pos = jnp.where(is_jhazard[:, None],
+                        jxy + side[:, None] * cfg.hazard_offset * jperp,
+                        pos)
+        heading = jnp.where(
+            is_jhazard,
+            jnp.arctan2(-side * jperp[:, 1], -side * jperp[:, 0]),
+            heading)
+        speed = jnp.where(is_jhazard, 0.0, speed)
+        hazard_speed = jnp.where(
+            is_jhazard,
+            jax.random.uniform(keys[8], (m,),
+                               minval=cfg.junction_hazard_speed[0],
+                               maxval=cfg.junction_hazard_speed[1]),
+            hazard_speed)
+        kind = jnp.where(is_jhazard, 0.0, kind)     # vehicle class
+        radius = jnp.where(is_jhazard, 0.6, radius)  # cyclist footprint
+
+    real = rank < (cfg.n_vehicles + cfg.n_walkers + cfg.n_hazards
+                   + cfg.n_junction_hazards)
     pos = jnp.where(real[:, None], pos, 1.0e7)
     radius = jnp.where(real, radius, 0.0)
     speed = jnp.where(real, speed, 0.0)
@@ -1125,7 +1174,7 @@ def _spring_hazards(cfg: JaxEnvConfig, state: JaxEnvState) -> JaxEnvState:
     `hazard_trigger` m of the ego starts its crossing walk (the
     DynamicObjectCrossing trigger, object_crash_vehicle.py). Once sprung
     its speed is nonzero, so the test never re-fires."""
-    if cfg.n_hazards == 0:
+    if cfg.n_hazards == 0 and cfg.n_junction_hazards == 0:
         return state
     obs = state.obstacles
     d = jnp.linalg.norm(obs[:, :2] - state.pos[None], axis=-1)

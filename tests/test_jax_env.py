@@ -403,3 +403,65 @@ def test_reset_routes_pins_sequential_eval_routes():
     # each env starts at ITS route's first waypoint
     starts = np.asarray(bank.routes)[ids, 0]
     np.testing.assert_allclose(np.asarray(state.pos), starts, atol=1e-4)
+
+
+def test_junction_crossers_arm_and_spring():
+    """Scenario-4 analog (VehicleTurningRoute /
+    object_crash_intersection.py:689): cyclist-class crossers spawn
+    beside the route's signalized junctions (the corner lights), stay
+    frozen until approach, then drive straight across at their latent
+    speed; collisions class as VEHICLE (the cyclist blueprint)."""
+    bank = make_route_bank(2, seed=7)
+    cfg = JaxEnvConfig(n_vehicles=0, n_walkers=0, n_junction_hazards=2,
+                       render=False)
+    env = JaxDrivingEnv(bank, num_envs=1, config=cfg)
+    state, _ = env.reset(jax.random.PRNGKey(2))
+
+    ob = np.array(state.obstacles)[0]          # [M=2, 6]
+    hz = np.array(state.hazard_speed)[0]
+    rid = int(state.route_id[0])
+    lights = np.array(bank.lights)[rid]
+    live = lights[lights[:, 0] < 1e6]
+    assert len(live) > 0, "route has no corner lights to anchor crossers"
+    assert (ob[:, 4] == 0.0).all()             # armed: frozen
+    assert ((hz >= cfg.junction_hazard_speed[0])
+            & (hz <= cfg.junction_hazard_speed[1])).all()
+    assert (ob[:, 3] == 0.0).all()             # VEHICLE collision class
+    np.testing.assert_allclose(ob[:, 2], 0.6)       # cyclist footprint
+    # anchored hazard_offset m from a junction light center
+    for x, y in ob[:, :2]:
+        d = np.hypot(live[:, 0] - x, live[:, 1] - y).min()
+        assert d == pytest.approx(cfg.hazard_offset, abs=0.5)
+
+    # bring crosser 0 within trigger range: it springs at its latent
+    # speed and drives straight on following ticks
+    controls = jnp.asarray([[0.0, 0.0, 0.0]])
+    ego = np.array(state.pos)[0]
+    ob_mod = ob.copy()
+    ob_mod[0, :2] = ego + np.asarray([5.0, 0.0])
+    state_n = state._replace(obstacles=jnp.asarray(ob_mod)[None])
+    state2, _ = env.step(state_n, controls)
+    ob2 = np.array(state2.obstacles)[0]
+    assert ob2[0, 4] == pytest.approx(hz[0], abs=1e-6)
+    assert (ob2[1:, 4] == 0.0).all()
+    state3, _ = env.step(state2, controls)
+    ob3 = np.array(state3.obstacles)[0]
+    moved = np.hypot(*(ob3[0, :2] - ob2[0, :2]))
+    assert moved == pytest.approx(hz[0] * cfg.dt, rel=1e-3)
+
+    # a collision with a sprung crosser terminates as a VEHICLE collision
+    ob_hit = ob.copy()
+    ob_hit[0, :2] = ego + np.asarray([0.5, 0.0])
+    ob_hit[0, 4] = hz[0]
+    state_h = state._replace(obstacles=jnp.asarray(ob_hit)[None])
+    # the first post-reset step carries the begin grace; the collision
+    # terminates on the next tick
+    state_h, out_h = env.step(state_h, controls)
+    if not bool(out_h.done[0]):
+        ob_again = np.array(state_h.obstacles)[0]
+        ob_again[0, :2] = np.array(state_h.pos)[0] + np.asarray([0.5, 0.0])
+        state_h = state_h._replace(obstacles=jnp.asarray(ob_again)[None])
+        state_h, out_h = env.step(state_h, controls)
+    assert bool(out_h.done[0])
+    from cadre_tpu.envs.jax_env import ERROR_CODES
+    assert ERROR_CODES[int(out_h.error_code[0])] == "collision vehicles!"
