@@ -150,6 +150,12 @@ class CollisionCriterion(Criterion):
         elif snap.collided_static:
             self.list_traffic_events.append(TrafficEvent(
                 TrafficEventType.COLLISION_STATIC, "Collision: static"))
+        else:
+            return
+        # the reference's CollisionTest counts collisions and fails the
+        # criterion (atomic_criteria.py:330-339)
+        self.actual_value += 1
+        self.test_status = "FAILURE"
 
 
 class OutsideRouteLanesCriterion(Criterion):
@@ -170,6 +176,11 @@ class OutsideRouteLanesCriterion(Criterion):
                 TrafficEventType.OUTSIDE_ROUTE_LANES_INFRACTION,
                 "Outside route lanes",
                 {"percentage": 100.0 * self._outside / self._ticks}))
+            # actual_value = % of the drive spent outside; any excursion
+            # fails the test (atomic_criteria.py:1150-1167 terminate())
+            self.test_status = "FAILURE"
+        self.actual_value = round(100.0 * self._outside
+                                  / max(self._ticks, 1), 2)
 
 
 class BlockedCriterion(Criterion):

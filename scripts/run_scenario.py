@@ -64,7 +64,26 @@ def run(args) -> int:
               file=sys.stderr)
         return 2
 
-    expert = OracleExpert()
+    if args.agent == "oracle":
+        expert = OracleExpert()
+        act = lambda tick, steps: expert.act(env, tick)  # noqa: E731
+    else:
+        # srunner autoagents over the sensor contract (envs/autoagents.py)
+        import math
+
+        from cadre_tpu.envs.autoagents import DummyAgent, NpcAgent
+
+        agent = NpcAgent() if args.agent == "npc" else DummyAgent()
+        plan = [((float(x), float(y)), 0) for x, y in env._route_xy[::10]]
+        agent.set_global_plan(plan, plan)
+
+        def act(tick, steps, agent=agent):
+            data = {"GPS": (steps, env._pos.copy()),
+                    "IMU": (steps,
+                            np.array([0.0, 0.0, math.radians(env._yaw)])),
+                    "speed": (steps, {"speed": env._speed})}
+            return agent.run_step(data, steps * env.dt)
+
     timeout_s = args.timeout if args.timeout else \
         0.8 * float(np.hypot(*np.diff(env._route_xy, axis=0).T).sum()) + 5.0
     t0 = time.time()
@@ -72,7 +91,7 @@ def run(args) -> int:
     done = False
     while not done and steps * env.dt < timeout_s:
         mgr.tick(env)
-        steer, throttle, brake = expert.act(env, tick)
+        steer, throttle, brake = act(tick, steps)
         tick, _, done, info = env.step([steer, throttle, brake])
         steps += 1
     duration_game = steps * env.dt
@@ -96,6 +115,10 @@ def main():
     p.add_argument("--openscenario", default=None, help=".xosc file")
     p.add_argument("--list", action="store_true",
                    help="print the scenario registry and exit")
+    p.add_argument("--agent", default="oracle",
+                   choices=("oracle", "npc", "dummy"),
+                   help="ego driver: the oracle expert or an srunner "
+                        "autoagent (envs/autoagents.py)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--timeout", type=float, default=None,
                    help="game-time budget in s (default: route-length "
