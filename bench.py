@@ -127,26 +127,31 @@ def bench_device_train(num_envs: int = 32, steps: int = 200,
         signal.signal(signal.SIGALRM, old)
 
 
-def _hold_scale_lock():
-    """Block until the long-experiment flock is free, then hold it for the
-    whole bench (released at exit). The round-3 driver capture raced a
-    detached training job on the same chip+host and recorded a 3x-degraded
-    headline (BENCH_r03.json: 11.4k f/s AND a 3x-slow torch-CPU baseline,
-    7.5 vs 24 fps — both arms of the contention; BENCH_NOTES.md). Every
+def _hold_scale_lock(wait_s: float = 120.0, poll_s: float = 5.0):
+    """Try to take the long-experiment flock (held for the whole bench,
+    released at exit), waiting at most 120 s. The round-3 driver capture
+    raced a detached training job on the same chip+host and recorded a
+    3x-degraded headline (BENCH_r03.json; BENCH_NOTES.md); every
     long-running scale script takes this same lock, so holding it here
-    makes bench captures and training jobs mutually exclusive."""
+    makes bench captures and training jobs mutually exclusive. The wait
+    is BOUNDED because an unbounded one starved the round-4 driver
+    capture to rc=124 — on timeout we still bench, flagged contended."""
     import fcntl
     import os
 
-    lockdir = "/tmp/device_scale"
+    lockdir = os.environ.get("CADRE_SCALE_LOCKDIR", "/tmp/device_scale")
     try:
         os.makedirs(lockdir, exist_ok=True)
         fd = os.open(os.path.join(lockdir, ".lock"),
                      os.O_WRONLY | os.O_CREAT, 0o644)
-        # Wait up to an hour for a running job to finish; past that,
-        # proceed but FLAG the row as contended so a degraded number is
-        # never mistaken for a regression again.
-        deadline = time.monotonic() + 3600
+        # Wait BRIEFLY for a running job to finish, then proceed with the
+        # row FLAGGED as contended. The round-3 unbounded race produced a
+        # corrupted number; the round-4 fix (1h wait) produced NO number —
+        # the driver's own timeout killed bench.py while it slept on the
+        # flock (BENCH_r04.json rc=124/parsed-null). A capture must NEVER
+        # hang: 120 s covers any eval tail, and a contended-but-present
+        # JSON line beats an absent one (VERDICT r4 item 2).
+        deadline = time.monotonic() + wait_s
         while True:
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
@@ -154,7 +159,7 @@ def _hold_scale_lock():
             except OSError:
                 if time.monotonic() > deadline:
                     return fd, True
-                time.sleep(10)
+                time.sleep(poll_s)
     except OSError:
         return None, False
 
@@ -177,7 +182,13 @@ def main():
         "dtype": "bfloat16",
     }
     if contended:
+        # a training job holds the chip: numbers below measure a SHARED
+        # chip+host, not the framework. Point at the last idle-chip
+        # measurement so the reader has a clean reference.
         row["lock_timeout_contended"] = True
+        row["last_idle_reference"] = (
+            "BENCH_r4_idle_rerun.json: 35790 f/s (1479x torch-CPU), "
+            "5171 device-train env-steps/s, measured on an idle chip")
     if device_sps is not None:
         row["device_train_env_steps_per_sec"] = round(device_sps, 1)
     print(json.dumps(row))

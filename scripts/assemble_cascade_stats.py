@@ -32,15 +32,55 @@ def _tcrit(df: float) -> float:
 
 
 def _ci(vals):
+    """Student-t 95% CI on the mean. Keeps the UNROUNDED values under
+    `_raw` so downstream gap math never runs on display-rounded numbers
+    (ADVICE r4: a borderline excludes_zero must not flip on rounding);
+    `_raw` is stripped before the artifact is serialized."""
     v = np.asarray(vals, float)
     n = len(v)
     mean = float(np.mean(v))
     if n < 2:
-        return dict(n=n, mean=round(mean, 4), ci95=None, values=list(v))
+        return dict(n=n, mean=round(mean, 4), ci95=None, values=list(v),
+                    _raw=v)
     sem = float(np.std(v, ddof=1)) / math.sqrt(n)
     return dict(n=n, mean=round(mean, 4),
                 ci95=round(_tcrit(n - 1) * sem, 4),
-                values=[round(float(x), 4) for x in v])
+                values=[round(float(x), 4) for x in v],
+                _raw=v)
+
+
+# config keys that attest where a seed's numbers came from; copied into
+# each seed row so the artifact is self-describing (ADVICE r4 medium:
+# provenance lived only in scripts/R4_RECOVERY_STATUS.md, invisible to
+# readers of the JSON)
+_PROV_KEYS = ("encoder", "encoder_sha256", "code_rev",
+              "encoder_provenance", "reconstructed_from")
+
+
+def _provenance(cfg, statsdir):
+    prov = {k: cfg[k] for k in _PROV_KEYS if cfg.get(k)}
+    # a run that predates sha recording: attest the file as it exists NOW,
+    # clearly labelled — the file may have been rewritten since the run
+    if prov.get("encoder") and "encoder_sha256" not in prov:
+        path = prov["encoder"]
+        if os.path.exists(path):
+            import hashlib
+
+            with open(path, "rb") as f:
+                prov["encoder_sha256_at_assembly"] = hashlib.sha256(
+                    f.read()).hexdigest()
+    return prov
+
+
+def _encoder_identity(prov):
+    """One short, stable identity label per seed for heterogeneity
+    detection (full detail stays in the per-seed provenance rows)."""
+    sha = prov.get("encoder_sha256") or prov.get("encoder_sha256_at_assembly")
+    if sha:
+        return f"sha256:{sha[:12]}"
+    if prov.get("encoder_provenance"):
+        return prov["encoder_provenance"].split(":")[0]  # e.g. "pre-wipe encoder"
+    return prov.get("encoder") or "init-only (no encoder)"
 
 
 def main():
@@ -73,6 +113,7 @@ def main():
             rows.append(dict(seed=seed,
                              episodes=ev.get("episodes"),
                              error_histogram=ev.get("error_histogram"),
+                             provenance=_provenance(cfg, args.statsdir),
                              **{m: ev.get(m) for m in METRICS}))
         if rows:
             arms[arm] = dict(
@@ -99,17 +140,42 @@ def main():
             r = arms["random"][m]
             if t["n"] >= 2 and r["n"] >= 2:
                 # Welch CI on the difference of seed means, with the
-                # Welch-Satterthwaite df and Student-t critical value
-                st = (np.std(t["values"], ddof=1) ** 2) / t["n"]
-                sr = (np.std(r["values"], ddof=1) ** 2) / r["n"]
+                # Welch-Satterthwaite df and Student-t critical value —
+                # computed from the UNROUNDED seed values (_raw)
+                st = (np.std(t["_raw"], ddof=1) ** 2) / t["n"]
+                sr = (np.std(r["_raw"], ddof=1) ** 2) / r["n"]
                 df = (st + sr) ** 2 / (
                     st ** 2 / max(t["n"] - 1, 1)
                     + sr ** 2 / max(r["n"] - 1, 1) + 1e-12)
                 half = _tcrit(df) * math.sqrt(st + sr)
-                gap = t["mean"] - r["mean"]
+                gap = float(np.mean(t["_raw"]) - np.mean(r["_raw"]))
                 gaps[m] = dict(gap=round(gap, 4), ci95=round(half, 4),
                                excludes_zero=bool(abs(gap) > half),
                                direction="trained" if gap > 0 else "random")
+    for a in arms.values():  # _raw was math-only; keep the artifact clean
+        for m in METRICS:
+            if m in a:
+                a[m].pop("_raw", None)
+
+    # encoder-heterogeneity audit over the trained arm (ADVICE r4 medium):
+    # if seeds ran against different encoder instances, say so in the
+    # artifact itself so a null result can't be silently blamed on mixing
+    heterogeneity = None
+    if "trained" in arms:
+        idents = {}
+        for row in arms["trained"]["seeds"]:
+            idents.setdefault(
+                _encoder_identity(row["provenance"]), []).append(row["seed"])
+        if len(idents) > 1:
+            heterogeneity = dict(
+                distinct_encoder_instances=len(idents),
+                seeds_by_instance={str(k): v for k, v in idents.items()},
+                note=("trained seeds ran against more than one encoder "
+                      "instance; encoder-instance variation is folded into "
+                      "the trained arm's seed variance. This widens the CI "
+                      "and can also SHIFT the arm mean (e.g. a weaker "
+                      "retrain biases it down) — per-seed provenance above "
+                      "is the record for attributing either effect."))
 
     b = budget if (budget and "per_row" not in (budget or {})) else \
         (budgets[0] if budgets else {})
@@ -119,17 +185,19 @@ def main():
                  "route geometry must be perceived from the camera's "
                  "painted ribbon; the configuration where the encoder is "
                  "load-bearing, BENCH_r3_scale.json camroute_reeval)")
-        enc = ("trained arm: DANet pretrained 25 epochs with camroute "
-               "blanking on the expert dataset (/tmp/device_scale/enc — "
-               "the SAME encoder as the round-3 single-seed camroute "
-               "runs); random arm: same architecture, init-only")
     else:
         proto = ("standard moving-traffic protocol (the "
                  "corner-floor-breaking configuration)")
-        enc = ("trained arm: DANet pretrained 25 epochs on the balanced "
-               "expert dataset (/tmp/pdata2 protocol: phase-balanced "
-               "lights, slow traffic mix, roadside props); random arm: "
-               "same architecture, init-only")
+    # encoder description is DERIVED from the per-seed provenance rows,
+    # never hardcoded (ADVICE r4 medium)
+    n_inst = (heterogeneity["distinct_encoder_instances"]
+              if heterogeneity else 1)
+    enc = ("trained arm: frozen pretrained DANet"
+           + (" (camroute-blanked pretraining)" if camroute else "")
+           + f", {n_inst} distinct encoder instance"
+           + ("s — see encoder_heterogeneity" if n_inst > 1 else "")
+           + "; per-seed path/sha256/code-rev in arms.*.seeds[*]."
+             "provenance; random arm: same architecture, init-only")
     artifact = dict(
         experiment=("multi-seed trained-vs-random frozen-encoder study on "
                     f"the device-resident path, {proto}, "
@@ -144,6 +212,7 @@ def main():
                         "runs (VERDICT.md round-2 item 2); completion is "
                         "secondary"),
         encoder=enc,
+        encoder_heterogeneity=heterogeneity,
         arms=arms,
         gaps=gaps,
     )

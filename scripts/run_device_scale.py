@@ -33,6 +33,31 @@ import jax
 import numpy as np
 
 
+def _sha256(path):
+    if not path or not os.path.exists(path):
+        return None
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _git_rev():
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        return None
+
+
 def run(args) -> dict:
     import dataclasses
 
@@ -224,6 +249,12 @@ def run(args) -> dict:
                     route_legs=args.route_legs, leg_len=leg_len,
                     hazards=args.hazards, camroute=bool(args.camroute),
                     encoder=args.encoder, seed=args.seed,
+                    # attest encoder identity + code version per run so a
+                    # multi-seed artifact can detect mixed-encoder arms
+                    # (ADVICE r4 medium: provenance must live in the JSON,
+                    # not a side-channel status note)
+                    encoder_sha256=_sha256(args.encoder),
+                    code_rev=_git_rev(),
                     total_env_steps=args.iterations * steps_per_iter,
                     resumed_from_iteration=snap_offset or None),
         train=dict(wall_s=round(train_wall, 1) if train_wall else None,

@@ -32,3 +32,87 @@ def test_ci_uses_student_t():
 
 def test_n1_has_no_ci():
     assert mod._ci([0.5])["ci95"] is None
+
+
+def _seed_doc(arm, seed, completion, score, **cfg_extra):
+    cfg = dict(iterations=10, num_envs=4, steps_per_iter=8, camroute=True,
+               seed=seed, resumed_from_iteration=None, **cfg_extra)
+    return dict(config=cfg,
+                eval=dict(episodes=20, error_histogram={"success": 20},
+                          mean_completion=completion,
+                          mean_driving_score=score))
+
+
+def _assemble(tmp_path, docs):
+    import json
+    import sys
+
+    statsdir = tmp_path / "stats"
+    statsdir.mkdir()
+    for name, doc in docs.items():
+        (statsdir / f"{name}.json").write_text(json.dumps(doc))
+    out = tmp_path / "artifact.json"
+    argv, sys.argv = sys.argv, ["x", "--statsdir", str(statsdir),
+                                "--out", str(out)]
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv
+    return json.loads(out.read_text())
+
+
+def test_artifact_records_per_seed_provenance(tmp_path):
+    """ADVICE r4 medium: provenance must be IN the JSON — per-seed encoder
+    path + sha + code rev, and a heterogeneity note when trained seeds
+    ran against different encoder instances."""
+    art = _assemble(tmp_path, {
+        "trained_s0": _seed_doc(
+            "trained", 0, 0.55, 42.0,
+            encoder_provenance="pre-wipe encoder: 25-epoch original"),
+        "trained_s1": _seed_doc(
+            "trained", 1, 0.52, 40.0,
+            encoder="/nonexistent/enc.msgpack",
+            encoder_sha256="beef" * 16, code_rev="abc1234"),
+        "random_s0": _seed_doc("random", 0, 0.40, 33.0),
+        "random_s1": _seed_doc("random", 1, 0.42, 35.0),
+    })
+    rows = {r["seed"]: r["provenance"] for r in art["arms"]["trained"]["seeds"]}
+    assert rows[0]["encoder_provenance"].startswith("pre-wipe encoder")
+    assert rows[1]["encoder_sha256"] == "beef" * 16
+    assert rows[1]["code_rev"] == "abc1234"
+    het = art["encoder_heterogeneity"]
+    assert het["distinct_encoder_instances"] == 2
+    assert sorted(v for vs in het["seeds_by_instance"].values() for v in vs) \
+        == [0, 1]
+    # derived prose, not the old hardcoded 25-epoch string
+    assert "2 distinct encoder instance" in art["encoder"]
+
+
+def test_homogeneous_arm_has_no_heterogeneity_note(tmp_path):
+    art = _assemble(tmp_path, {
+        "trained_s0": _seed_doc("trained", 0, 0.55, 42.0,
+                                encoder_sha256="aa" * 32),
+        "trained_s1": _seed_doc("trained", 1, 0.52, 40.0,
+                                encoder_sha256="aa" * 32),
+        "random_s0": _seed_doc("random", 0, 0.40, 33.0),
+        "random_s1": _seed_doc("random", 1, 0.42, 35.0),
+    })
+    assert art["encoder_heterogeneity"] is None
+
+
+def test_gap_uses_unrounded_values(tmp_path):
+    """ADVICE r4: gap/CI from raw seed values, rounding only for display —
+    values chosen so 4-decimal pre-rounding would move the gap."""
+    t0, t1 = 0.500049, 0.510051     # round to .5000/.5101 -> mean .50505
+    r0, r1 = 0.400049, 0.410051
+    art = _assemble(tmp_path, {
+        "trained_s0": _seed_doc("trained", 0, t0, 42.0),
+        "trained_s1": _seed_doc("trained", 1, t1, 40.0),
+        "random_s0": _seed_doc("random", 0, r0, 33.0),
+        "random_s1": _seed_doc("random", 1, r1, 35.0),
+    })
+    gap = art["gaps"]["mean_completion"]["gap"]
+    raw_gap = (t0 + t1) / 2 - (r0 + r1) / 2
+    assert math.isclose(gap, round(raw_gap, 4), abs_tol=1e-9)
+    # and the serialized artifact carries no _raw leakage
+    assert "_raw" not in art["arms"]["trained"]["mean_completion"]
