@@ -167,7 +167,11 @@ class MapRouter:
                             - math.pi)
         if abs(diff) < TURN_THRESHOLD_DEG:
             return RoadOption.STRAIGHT
-        return RoadOption.LEFT if diff > 0 else RoadOption.RIGHT
+        # CARLA's frame is left-handed (+y to the RIGHT of +x), so a
+        # positive heading change is a RIGHT turn — verified against the
+        # reference's named turn routes (Nocrash_right_turn_route.xml:
+        # yaw_out - yaw_in = +90 on all 33 routes; _left_: -90)
+        return RoadOption.RIGHT if diff > 0 else RoadOption.LEFT
 
     def _nearest_edge_points(self, x: float, y: float, k: int,
                              allowed=None) -> List[Tuple[float, int, int]]:

@@ -142,7 +142,14 @@ class GridTownMap:
             d = p1 - p0
             n = math.hypot(d[0], d[1])
             d = d / n
-            right = np.asarray([d[1], -d[0]])
+            # CARLA's frame is LEFT-handed (UE4: +y is to the RIGHT of +x
+            # seen from above), so right-of-travel is (-dy, dx) — the
+            # (dy, -dx) of a y-up math frame puts traffic on the wrong
+            # side and made every trace from the reference's on-lane
+            # keypoints snap to the opposing lane (r5 grid-fidelity
+            # audit: a 62 m straight train route traced 441 m around the
+            # block; BENCH_r5_grid_fidelity.json before/after)
+            right = np.asarray([-d[1], d[0]])
             off = self.LANE_OFF * right
             self._edges.append(LaneEdge([p0 + off, p1 + off], False))
 

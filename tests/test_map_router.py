@@ -29,21 +29,23 @@ def test_grid_topology_builds():
         begin.transform.location) == pytest.approx(1.0, abs=0.1)
 
 
-def test_trace_turns_left_at_junction():
-    """Eastbound approach -> northbound exit: the dense trace must round
-    the junction corner (not the straight chord) and carry a LEFT option
-    through the junction edge."""
+def test_trace_turns_right_at_junction():
+    """Eastbound approach -> +y exit. CARLA's frame is left-handed (+y to
+    the RIGHT of +x): the eastbound lane of road y=0 sits at y=+1.75, the
+    +y-bound lane of road x=0 at x=-1.75, and the turn is a RIGHT
+    (Nocrash_right_turn_route.xml: yaw_out - yaw_in = +90). The dense
+    trace must round the junction corner, not the straight chord."""
     m = GridTownMap()
     router = MapRouter(m, 1.0)
-    route = router.trace_route(Location(-40.0, -1.75), Location(1.75, 60.0))
+    route = router.trace_route(Location(-40.0, 1.75), Location(-1.75, 60.0))
     pts = _pts(route)
     gaps = np.hypot(*np.diff(pts, axis=0).T)
     assert gaps.max() < 3.0, "trace not dense"
     opts = {opt for _, opt in route}
-    assert RoadOption.LEFT in opts
+    assert RoadOption.RIGHT in opts
     # rounds the corner: contains points on BOTH approach legs
-    on_east_leg = (np.abs(pts[:, 1] + 1.75) < 1.0) & (pts[:, 0] < -10.0)
-    on_north_leg = (np.abs(pts[:, 0] - 1.75) < 1.0) & (pts[:, 1] > 10.0)
+    on_east_leg = (np.abs(pts[:, 1] - 1.75) < 1.0) & (pts[:, 0] < -10.0)
+    on_north_leg = (np.abs(pts[:, 0] + 1.75) < 1.0) & (pts[:, 1] > 10.0)
     assert on_east_leg.any() and on_north_leg.any()
     # ...and never takes the straight chord between them (chord midpoint
     # (-19, 29) is ~25 m from any road)
@@ -51,16 +53,28 @@ def test_trace_turns_left_at_junction():
     assert np.hypot(*(pts - chord_mid).T).min() > 15.0
 
 
+def test_trace_turns_left_at_junction():
+    """Eastbound approach -> -y exit = LEFT in CARLA's left-handed frame
+    (Nocrash_left_turn_route.xml: yaw_out - yaw_in = -90). The -y-bound
+    lane of road x=0 sits at x=+1.75."""
+    m = GridTownMap()
+    router = MapRouter(m, 1.0)
+    route = router.trace_route(Location(-40.0, 1.75), Location(1.75, -60.0))
+    opts = {opt for _, opt in route}
+    assert RoadOption.LEFT in opts
+    assert RoadOption.RIGHT not in opts
+
+
 def test_trace_straight_through_junction():
     m = GridTownMap()
     router = MapRouter(m, 1.0)
-    route = router.trace_route(Location(-40.0, -1.75),
-                               Location(60.0, -1.75))
+    route = router.trace_route(Location(-40.0, 1.75),
+                               Location(60.0, 1.75))
     opts = [opt for _, opt in route]
     assert RoadOption.STRAIGHT in opts      # junction crossing
     assert RoadOption.LEFT not in opts and RoadOption.RIGHT not in opts
     pts = _pts(route)
-    assert np.abs(pts[:, 1] + 1.75).max() < 1.0   # stays on the lane
+    assert np.abs(pts[:, 1] - 1.75).max() < 1.0   # stays on the lane
 
 
 def test_carla_env_dense_branch_turns(tmp_path, monkeypatch):
@@ -75,7 +89,7 @@ def test_carla_env_dense_branch_turns(tmp_path, monkeypatch):
     from cadre_tpu.envs.carla_env import CarlaDrivingEnv
 
     wps = "".join(f'<waypoint x="{x}" y="{y}" z="0"/>'
-                  for x, y in [(-40.0, -1.75), (1.75, 60.0)])
+                  for x, y in [(-40.0, 1.75), (-1.75, 60.0)])
     routes = tmp_path / "routes.xml"
     routes.write_text(
         f'<routes><route id="0" map="Town01">{wps}</route></routes>')
@@ -86,9 +100,9 @@ def test_carla_env_dense_branch_turns(tmp_path, monkeypatch):
         pts = np.asarray([[tf.location.x, tf.location.y]
                           for tf, _ in env._route_transforms])
         opts = {opt for _, opt in env._route_transforms}
-        assert RoadOption.LEFT in opts
-        on_east = (np.abs(pts[:, 1] + 1.75) < 1.0) & (pts[:, 0] < -10.0)
-        on_north = (np.abs(pts[:, 0] - 1.75) < 1.0) & (pts[:, 1] > 10.0)
+        assert RoadOption.RIGHT in opts   # east -> +y = RIGHT (CARLA frame)
+        on_east = (np.abs(pts[:, 1] - 1.75) < 1.0) & (pts[:, 0] < -10.0)
+        on_north = (np.abs(pts[:, 0] + 1.75) < 1.0) & (pts[:, 1] > 10.0)
         assert on_east.any() and on_north.any()
     finally:
         env.close()
@@ -103,9 +117,10 @@ def test_trace_from_dead_end_stub_falls_back():
     the boundary junction projected onto the northbound extension)."""
     m = GridTownMap(xs=(0.0, 120.0), ys=(0.0, 120.0))
     router = MapRouter(m, 1.0)
-    # (2.5, 126): past the last horizontal road, nearest the x=0 road's
-    # northbound extension stub (lane x=+1.75, y>=128)
-    route = router.trace_route(Location(2.5, 126.0), Location(60.0, -1.75))
+    # (-2.5, 126): past the last horizontal road, nearest the x=0 road's
+    # outbound (+y) extension stub (lane x=-1.75 in the CARLA frame,
+    # y>=128)
+    route = router.trace_route(Location(-2.5, 126.0), Location(60.0, 1.75))
     pts = _pts(route)
     assert len(pts) > 50
     gaps = np.hypot(*np.diff(pts, axis=0).T)
