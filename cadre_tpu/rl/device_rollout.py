@@ -60,12 +60,19 @@ class IterationMetrics(NamedTuple):
 
 def make_device_iteration(agent: CadreAgent, env: JaxDrivingEnv,
                           rollout_cfg: Optional[RolloutConfig] = None,
-                          train_cfg: Optional[TrainConfig] = None):
+                          train_cfg: Optional[TrainConfig] = None,
+                          mesh=None, data_axis: str = "data"):
     """Returns (iteration, init_carry):
 
     iteration(params, danet_vars, opt_state, carry, rng) ->
         (params, opt_state, carry, IterationMetrics)   [jittable]
     init_carry(danet_vars, key) -> DeviceCarry
+
+    Pass `mesh` when the env axis is sharded over a device mesh: the PPO
+    update then runs as manual SPMD (per-device minibatches + psum-mean
+    grads, rl/fused_update.py) instead of letting GSPMD all-gather the
+    rollout buffers to every device. The rollout scan itself is
+    per-env-elementwise and shards cleanly either way.
     """
     rollout_cfg = rollout_cfg or RolloutConfig()
     train_cfg = train_cfg or TrainConfig()
@@ -81,7 +88,8 @@ def make_device_iteration(agent: CadreAgent, env: JaxDrivingEnv,
                                   gamma=rollout_cfg.gamma,
                                   tau=rollout_cfg.tau)
     fused = make_fused_iteration_update(agent.steer_def, agent.throttle_def,
-                                        ppo_cfg, rollout_cfg)
+                                        ppo_cfg, rollout_cfg,
+                                        mesh=mesh, axis_name=data_axis)
     steer_lut = jnp.asarray(STEER_CONTROL, jnp.float32)
     throttle_lut = jnp.asarray(THROTTLE_CONTROL, jnp.float32)
 

@@ -59,7 +59,8 @@ def _one(n: int) -> None:
     env = JaxDrivingEnv(bank, num_envs=num_envs,
                         config=JaxEnvConfig(render=True))
     iteration, init_carry = make_device_iteration(
-        agent, env, RolloutConfig(num_steps=steps), TrainConfig(ppo_epoch=1))
+        agent, env, RolloutConfig(num_steps=steps), TrainConfig(ppo_epoch=1),
+        mesh=mesh)
 
     carry = init_carry(agent.danet_vars, jax.random.PRNGKey(1))
     opt_state = make_optimizer(agent.ppo_cfg).init(agent.params)

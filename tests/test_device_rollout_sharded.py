@@ -32,7 +32,7 @@ def test_device_iteration_sharded_over_env_axis():
     env = JaxDrivingEnv(bank, num_envs=8, config=JaxEnvConfig())
     rollout_cfg = RolloutConfig(num_steps=8)
     iteration, init_carry = make_device_iteration(
-        agent, env, rollout_cfg, TrainConfig(ppo_epoch=1))
+        agent, env, rollout_cfg, TrainConfig(ppo_epoch=1), mesh=mesh)
 
     carry = init_carry(agent.danet_vars, jax.random.PRNGKey(1))
     opt_state = make_optimizer(agent.ppo_cfg).init(agent.params)

@@ -66,6 +66,98 @@ def test_fused_update_runs_and_improves():
     assert float(aux_prev.value_loss) < float(aux1.value_loss)
 
 
+def test_sharded_update_matches_single_device_full_batch():
+    """Manual-SPMD update (shard_map: per-device minibatches + psum-mean
+    grads) must equal the single-device update when both use ONE full
+    minibatch per epoch: the union of per-device minibatches is then the
+    global batch, so psum-mean(local grads) == global full-batch grad
+    (Shared_grad_buffers semantics, ppo_agent/models.py:219-258)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cadre_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    f, t, n, seq = 12, 4, 8, 3
+    steer = PolicyBankDef(4, 5, f)
+    throttle = PolicyBankDef(4, 3, f)
+    params = {"steer": steer.init_params(jax.random.PRNGKey(0)),
+              "throttle": throttle.init_params(jax.random.PRNGKey(1))}
+    cfg = PPOConfig(ppo_epoch=1, num_steps=t, seq_length=seq)
+    rcfg = RolloutConfig(num_steps=t, mini_batch_num=1, seq_length=seq,
+                         feature_dims=f)
+    opt_state = make_optimizer(cfg).init(params)
+    sb = _filled_buffer(jax.random.PRNGKey(2), t, n, seq, f, 5)
+    tb = _filled_buffer(jax.random.PRNGKey(3), t, n, seq, f, 3)
+    nv = (jnp.zeros((n,)), jnp.zeros((n,)))
+
+    single = make_fused_iteration_update(steer, throttle, cfg, rcfg)
+    p1, _, aux1 = single(params, opt_state, sb, tb, nv,
+                         jax.random.PRNGKey(4))
+
+    mesh = make_mesh(8)
+    repl = NamedSharding(mesh, P())
+    put = lambda tree, s: jax.tree.map(  # noqa: E731
+        lambda x: jax.device_put(x, s), tree)
+    put_buf = lambda tree: jax.tree.map(  # noqa: E731
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(None, "data"))
+            if getattr(x, "ndim", 0) >= 2 else repl), tree)
+    sharded = make_fused_iteration_update(steer, throttle, cfg, rcfg,
+                                          mesh=mesh)
+    p2, _, aux2 = sharded(
+        put(params, repl), put(opt_state, repl), put_buf(sb),
+        put_buf(tb), put(nv, NamedSharding(mesh, P("data"))),
+        jax.device_put(jax.random.PRNGKey(4), repl))
+
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    assert np.isfinite(float(aux2.value_loss))
+
+
+def test_sharded_update_partitioned_hlo_has_no_allgather():
+    """The regression the shard_map path exists to prevent: GSPMD turning
+    the minibatch gathers into per-field all-gathers of the rollout
+    buffers (BENCH_r5_mesh_profile.json: 20 all-gathers at n=2)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cadre_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    f, t, n, seq = 12, 4, 8, 3
+    steer = PolicyBankDef(4, 5, f)
+    throttle = PolicyBankDef(4, 3, f)
+    params = {"steer": steer.init_params(jax.random.PRNGKey(0)),
+              "throttle": throttle.init_params(jax.random.PRNGKey(1))}
+    cfg = PPOConfig(ppo_epoch=2, num_steps=t, seq_length=seq)
+    rcfg = RolloutConfig(num_steps=t, mini_batch_num=2, seq_length=seq,
+                         feature_dims=f)
+    opt_state = make_optimizer(cfg).init(params)
+    sb = _filled_buffer(jax.random.PRNGKey(2), t, n, seq, f, 5)
+    tb = _filled_buffer(jax.random.PRNGKey(3), t, n, seq, f, 3)
+    nv = (jnp.zeros((n,)), jnp.zeros((n,)))
+    mesh = make_mesh(8)
+    repl = NamedSharding(mesh, P())
+    put = lambda tree, s: jax.tree.map(  # noqa: E731
+        lambda x: jax.device_put(x, s), tree)
+    put_buf = lambda tree: jax.tree.map(  # noqa: E731
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(None, "data"))
+            if getattr(x, "ndim", 0) >= 2 else repl), tree)
+    sharded = make_fused_iteration_update(steer, throttle, cfg, rcfg,
+                                          mesh=mesh)
+    args = (put(params, repl), put(opt_state, repl), put_buf(sb),
+            put_buf(tb), put(nv, NamedSharding(mesh, P("data"))),
+            jax.device_put(jax.random.PRNGKey(4), repl))
+    hlo = jax.jit(sharded).lower(*args).compile().as_text()
+    n_ag = sum(1 for ln in hlo.splitlines()
+               if " all-gather(" in ln or " all-gather-start(" in ln)
+    assert n_ag == 0, f"update still all-gathers rollout buffers ({n_ag})"
+
+
 def test_train_vec_fused_path(tmp_path):
     vec = VecDrivingEnv([
         lambda i=i: FakeDrivingEnv(episode_length=10, seq_length=3,
