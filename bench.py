@@ -164,7 +164,51 @@ def _hold_scale_lock(wait_s: float = 120.0, poll_s: float = 5.0):
         return None, False
 
 
+# North-star regression floors (BASELINE.md): measured-on-idle-chip
+# values must not drop below these or a kernel/pipeline regression is
+# shipping silently (VERDICT r4 item 6). Idle measurements to date:
+# 35.8k f/s and 5.17k steps/s (BENCH_r4_idle_rerun.json), so the floors
+# leave ~15% headroom for session variance.
+FLOORS = {
+    "danet_latent_frames_per_sec_per_chip": 30000.0,
+    "device_train_env_steps_per_sec": 4500.0,
+}
+
+
+def check_floors(row: dict, floors: dict = FLOORS) -> list:
+    """Regression-lock check on a bench row. Returns human-readable
+    violations ([] = pass). Contended rows are never judged — they
+    measure a shared chip, not the framework."""
+    if row.get("lock_timeout_contended"):
+        return []
+    out = []
+    fps = row.get("value")
+    floor = floors["danet_latent_frames_per_sec_per_chip"]
+    if fps is None:
+        out.append("primary frames/s metric missing")
+    elif fps < floor:
+        out.append(f"frames/s regression: {fps} < floor {floor}")
+    sps = row.get("device_train_env_steps_per_sec")
+    floor = floors["device_train_env_steps_per_sec"]
+    if sps is None:
+        out.append("device-train bench produced no number "
+                   "(tunnel wedge or exception)")
+    elif sps < floor:
+        out.append(f"device-train env-steps/s regression: "
+                   f"{sps} < floor {floor}")
+    return out
+
+
 def main():
+    import argparse
+    import sys
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--assert-floors", action="store_true",
+                    help="exit 1 if an uncontended measurement falls "
+                         "below the BASELINE.md north-star floors")
+    args = ap.parse_args()
+
     _, contended = _hold_scale_lock()
     jax_fps, pallas_fps, backend = bench_jax()
     torch_fps = bench_torch_cpu()
@@ -192,6 +236,14 @@ def main():
     if device_sps is not None:
         row["device_train_env_steps_per_sec"] = round(device_sps, 1)
     print(json.dumps(row))
+    if args.assert_floors:
+        violations = check_floors(row)
+        if contended:
+            print("floors not judged: lock contended", file=sys.stderr)
+        for v in violations:
+            print("FLOOR VIOLATION:", v, file=sys.stderr)
+        if violations:
+            sys.exit(1)
 
 
 if __name__ == "__main__":
