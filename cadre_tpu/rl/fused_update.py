@@ -135,7 +135,7 @@ def make_fused_iteration_update(steer_def: PolicyBankDef,
                     jax.tree.map(lambda _: P(axis_name), next_values),
                     P())
         sm = shard_map(run, mesh=mesh, in_specs=in_specs,
-                       out_specs=(P(), P(), P()), check_rep=False)
+                       out_specs=(P(), P(), P()), check_vma=False)
         return sm(params, opt_state, steer_buf, throttle_buf,
                   next_values, rng)
 
