@@ -825,6 +825,27 @@ class WaitEndIntersection(Condition):
         return self._entered and not inside
 
 
+class AtRightmostLane(Condition):
+    """True when the actor drives the rightmost DRIVING lane: its right
+    neighbor lane exists and is not of Driving type
+    (atomic_trigger_conditions.py:1253-1291 — note the reference stays
+    RUNNING when get_right_lane() returns None, mirrored here)."""
+
+    def __init__(self, ob, carla_map):
+        self._ob, self._map = ob, carla_map
+
+    def __call__(self, env) -> bool:
+        p = env._pos if self._ob == "ego" else self._ob.pos
+        loc = type("L", (), dict(x=float(p[0]), y=float(p[1]), z=0.0))()
+        wp = self._map.get_waypoint(loc)
+        if wp is None:
+            return False
+        right = getattr(wp, "get_right_lane", lambda: None)()
+        if right is None:
+            return False
+        return getattr(right, "lane_type", "Driving") != "Driving"
+
+
 class TriggerVelocity(Condition):
     """True once the actor's speed exceeds `target_velocity`
     (atomic_trigger_conditions.py:513-555)."""

@@ -77,15 +77,20 @@ class _Geo:
 
 
 class LaneEdge:
-    """Dense directed lane polyline of the grid topology."""
+    """Dense directed lane polyline of the grid topology. `road_key` and
+    `lane_index` identify parallel lanes of one directed road (lane 0 is
+    innermost; higher indices sit further right of travel)."""
 
-    def __init__(self, pts, junction: bool):
+    def __init__(self, pts, junction: bool, road_key=None,
+                 lane_index: int = 0):
         self.pts = np.asarray(pts, np.float64)
         seg = np.diff(self.pts, axis=0)
         self.cum = np.concatenate(
             [[0.0], np.cumsum(np.hypot(seg[:, 0], seg[:, 1]))])
         self.length = float(self.cum[-1])
         self.junction = junction
+        self.road_key = road_key
+        self.lane_index = lane_index
         self.successors: List["LaneEdge"] = []
 
     def point(self, s: float):
@@ -100,8 +105,23 @@ class LaneEdge:
         return pos, yaw
 
 
+class _ShoulderWaypoint:
+    """Non-driving lane marker beyond the outermost driving lane — what
+    carla.Waypoint.get_right_lane() returns at the road edge (lane_type
+    Shoulder), the success condition of AtRightmostLane
+    (atomic_trigger_conditions.py:1253-1291)."""
+
+    lane_type = "Shoulder"
+    is_junction = False
+
+    def __init__(self, transform):
+        self.transform = transform
+
+
 class GridWaypoint:
     """carla.Waypoint over a LaneEdge at arclength s."""
+
+    lane_type = "Driving"
 
     def __init__(self, world_map, edge: LaneEdge, s: float):
         self._map = world_map
@@ -110,7 +130,7 @@ class GridWaypoint:
         pos, yaw = edge.point(s)
         self.transform = _Tf(_Loc(pos[0], pos[1], 0.0), _Rot(yaw=yaw))
         self.road_id = id(edge) & 0xFFFF
-        self.lane_id = -1
+        self.lane_id = -(edge.lane_index + 1)
         self.lane_width = 3.5
         self.is_junction = edge.junction
         self.is_intersection = edge.junction
@@ -121,6 +141,22 @@ class GridWaypoint:
             return [GridWaypoint(self._map, self._edge, s2)]
         return [GridWaypoint(self._map, e2, 0.0)
                 for e2 in self._edge.successors]
+
+    def get_right_lane(self):
+        """The waypoint one lane to the right of travel: a parallel
+        driving lane when one exists, else the Shoulder beyond the
+        outermost lane; None inside junctions (carla.Waypoint API)."""
+        e = self._edge
+        if e.junction or e.road_key is None:
+            return None
+        sib = self._map._lane_sibling(e, e.lane_index + 1)
+        if sib is not None:
+            return GridWaypoint(self._map, sib, min(self._s, sib.length))
+        pos, yaw = e.point(self._s)
+        h = math.radians(yaw)
+        right = np.asarray([-math.sin(h), math.cos(h)])  # CARLA left-handed
+        sp = pos + self.lane_width * right
+        return _ShoulderWaypoint(_Tf(_Loc(sp[0], sp[1], 0.0), _Rot(yaw=yaw)))
 
 
 class GridTownMap:
@@ -133,9 +169,12 @@ class GridTownMap:
     def __init__(self, name: str = "GridTown",
                  xs: Sequence[float] = (0.0, 120.0),
                  ys: Sequence[float] = (0.0, 120.0),
-                 half: float = 8.0, ext: float = 50.0):
+                 half: float = 8.0, ext: float = 50.0,
+                 lanes_per_direction: int = 1):
         self.name = name
+        self.lanes_per_direction = int(lanes_per_direction)
         self._edges: List[LaneEdge] = []
+        self._lane_groups = {}   # road_key -> {lane_index: LaneEdge}
 
         def lane(p0, p1):
             p0, p1 = np.asarray(p0, float), np.asarray(p1, float)
@@ -150,8 +189,14 @@ class GridTownMap:
             # audit: a 62 m straight train route traced 441 m around the
             # block; BENCH_r5_grid_fidelity.json before/after)
             right = np.asarray([-d[1], d[0]])
-            off = self.LANE_OFF * right
-            self._edges.append(LaneEdge([p0 + off, p1 + off], False))
+            key = (round(p0[0], 1), round(p0[1], 1),
+                   round(d[0], 3), round(d[1], 3))
+            for i in range(self.lanes_per_direction):
+                off = self.LANE_OFF * (2 * i + 1) * right
+                e = LaneEdge([p0 + off, p1 + off], False,
+                             road_key=key, lane_index=i)
+                self._edges.append(e)
+                self._lane_groups.setdefault(key, {})[i] = e
 
         xs, ys = sorted(xs), sorted(ys)
         for y in ys:                                   # horizontal roads
@@ -180,7 +225,8 @@ class GridTownMap:
         for cx in xs:
             for cy in ys:
                 c = np.asarray([cx, cy])
-                bound = half + self.LANE_OFF + 0.5
+                bound = half + self.LANE_OFF * (
+                    2 * self.lanes_per_direction - 1) + 0.5
                 ins = [e for e in self._edges if not e.junction and
                        np.abs(e.pts[-1] - c).max() <= bound]
                 outs = [e for e in self._edges if not e.junction and
@@ -215,6 +261,10 @@ class GridTownMap:
             ctrl = pe + t * de
         ts = np.linspace(0.0, 1.0, n)[:, None]
         return (1 - ts) ** 2 * pe + 2 * ts * (1 - ts) * ctrl + ts ** 2 * px
+
+    def _lane_sibling(self, edge: LaneEdge, lane_index: int):
+        """The parallel lane of the same directed road, or None."""
+        return self._lane_groups.get(edge.road_key, {}).get(lane_index)
 
     # -- carla.Map api --
     def get_topology(self):
