@@ -4,6 +4,7 @@ import numpy as np
 
 from cadre_tpu.envs.autoagents import DummyAgent, HumanAgent, NpcAgent
 from cadre_tpu.envs.autonomous_agent import validate_sensor_configuration
+from cadre_tpu.envs.sim_env import SimDrivingEnv
 
 
 def test_sensor_suites_validate():
@@ -86,3 +87,46 @@ def test_npc_agent_completes_live_env_route():
         if done:
             break
     assert done and info.get("error_message") == "success", info
+
+
+def test_human_agent_drives_sim_episode_headless():
+    """VERDICT r4 item 8: HumanAgent drives a real SimDrivingEnv episode
+    end-to-end through the injectable key source (no pygame/display) —
+    a scripted 'driver' presses w/a/d from the ego's heading error, the
+    agent turns keys into controls via the reference's steer-cache ramp
+    (human_agent.py:151-214), and the env must reach its destination."""
+    import math
+
+    env = SimDrivingEnv(seed=3, seq_length=2, vehicle_num=(0, 0),
+                        render_camera=False, with_traffic_lights=False)
+    env.reset()
+
+    pressed = set()
+    agent = HumanAgent(input_source=lambda: set(pressed))
+
+    def drive_keys():
+        """Scripted human: crawl and aim ~8 m ahead (pure-pursuit-style
+        anticipation — the bang-bang steer cache needs the corner early,
+        turning radius at full cache is ~6.4 m)."""
+        route = env._route_xy
+        d = np.hypot(*(route - env._pos).T)
+        target = route[min(int(np.argmin(d)) + 8, len(route) - 1)]
+        desired = math.degrees(math.atan2(*(target - env._pos)[::-1]))
+        err = (desired - env._yaw + 180.0) % 360.0 - 180.0
+        pressed.clear()
+        if env._speed < 2.5:
+            pressed.add("w")
+        if err > 1.5:
+            pressed.add("d")
+        elif err < -1.5:
+            pressed.add("a")
+
+    done, info = False, {}
+    for i in range(3000):
+        drive_keys()
+        steer, throttle, brake = agent.run_step({}, i * env.dt)
+        _, _, done, info = env.step([steer, throttle, brake])
+        if done:
+            break
+    assert done, "episode never terminated"
+    assert info.get("error_message") == "success", info
