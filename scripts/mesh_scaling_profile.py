@@ -43,7 +43,7 @@ import subprocess
 import sys
 
 
-def _one(n: int, iters: int) -> None:
+def _one(n: int, iters: int, compile_only: bool = False) -> None:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n}").strip()
@@ -111,6 +111,13 @@ def _one(n: int, iters: int) -> None:
         coll[op] = sum(1 for ln in hlo.splitlines()
                        if f" {op}(" in ln or f" {op}-start(" in ln)
 
+    if compile_only:
+        print(json.dumps(dict(
+            devices=n, num_envs=num_envs, envs_per_device=envs_per_device,
+            steps_per_iter_per_env=steps, compile_s=round(compile_s, 1),
+            compile_only=True, hlo_collectives=coll)))
+        return
+
     # ---- warmup one real call (donation consumes carry/opt_state) ----
     params, opt_state, carry, m = jit_it(params, danet_vars, opt_state,
                                          carry, jax.random.PRNGKey(2))
@@ -172,22 +179,39 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--child", type=int, default=None)
+    p.add_argument("--compile-only", action="store_true",
+                   help="lower+compile and report the collective "
+                        "histogram only (no execution — immune to the "
+                        "1-core rendezvous starvation)")
     p.add_argument("--out", default="BENCH_r5_mesh_profile.json")
     args = p.parse_args()
     if args.child is not None:
-        _one(args.child, args.iters)
+        _one(args.child, args.iters, args.compile_only)
         return
     rows = []
     for n in (1, 2, 4, 8):
+        cmd = [sys.executable, __file__, "--child", str(n),
+               "--iters", str(args.iters)]
+        if args.compile_only:
+            cmd.append("--compile-only")
         out = subprocess.run(
-            [sys.executable, __file__, "--child", str(n),
-             "--iters", str(args.iters)],
-            capture_output=True, text=True, timeout=1800,
+            cmd, capture_output=True, text=True, timeout=1800,
             env={**os.environ, "JAX_PLATFORMS": "cpu"})
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
         if not line:
-            print(f"devices={n} FAILED:\n{out.stderr[-2000:]}")
-            sys.exit(1)
+            # XLA CPU in-process collectives CHECK-fail after a hard 40 s
+            # rendezvous termination when device threads starve on one
+            # physical core — record the failure as data, don't abort
+            # the sweep (it IS the weak-scaling story)
+            reason = "unknown"
+            if "Termination timeout" in out.stderr:
+                reason = ("XLA CPU collective rendezvous termination "
+                          "(40 s hard limit; device threads starved on "
+                          "1 physical core)")
+            rows.append(dict(devices=n, failed=reason,
+                             stderr_tail=out.stderr[-400:]))
+            print(f"devices={n} FAILED: {reason}", flush=True)
+            continue
         rows.append(json.loads(line[-1]))
         print(line[-1], flush=True)
     with open(args.out, "w") as f:

@@ -26,7 +26,8 @@ if [ "$1" = collect ]; then
     if [ ! -f /tmp/pdata/shard_00031.npz ]; then
       JAX_PLATFORMS=cpu timeout 5000 python train_perception.py \
           --data-dir /tmp/pdata --collect 16384 --epochs 0 \
-          --work-dir "$W/collect" || echo COLLECT_FAILED
+          --work-dir "$W/collect" \
+          || { echo COLLECT_FAILED; touch "$W/COLLECT_FAILED"; }
     fi
     echo COLLECT_DONE; date
   } >> "$W/recover_collect.log" 2>&1
@@ -51,9 +52,12 @@ flock 9 || exit 1
   }
   run_seed random 3 ""
   run_seed random 4 ""
-  # wait for the host-side collection to land the last shard
+  # wait for the host-side collection to land the last shard; a failed
+  # collection writes a sentinel so the chip half doesn't sleep the full
+  # 100 minutes for a shard that will never arrive (ADVICE r4)
   for i in $(seq 1 200); do
     [ -f /tmp/pdata/shard_00031.npz ] && break
+    [ -f "$W/COLLECT_FAILED" ] && { echo COLLECT_FAILED_SENTINEL_SEEN; break; }
     sleep 30
   done
   ENC="$W/enc/net_epoch17.msgpack"
