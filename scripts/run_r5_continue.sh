@@ -34,8 +34,17 @@ flock 9 || exit 1
       --out BENCH_r4_camroute_stats.json || true
   python scripts/track_seed_results.py || true
 
-  # ---- NoCrash 3 seeds x tiers (encoder from the orphaned trainer) ----
+  # ---- standard encoder (the first orphaned attempt wedged in device
+  # init and was killed; idempotent retry here) ----
   ENC="$W/enc_std/net_epoch23.msgpack"
+  if [ ! -f "$ENC" ]; then
+    timeout 10800 python train_perception.py --data-dir /tmp/pdata \
+        --epochs 24 --holdout --holdout-shards 4 --packed --cache \
+        --balance --batch-size 48 --save-interval 24 \
+        --work-dir "$W/enc_std"
+    echo ENC_std_DONE; date
+  fi
+  # ---- NoCrash 3 seeds x tiers ----
   if [ ! -f "$ENC" ]; then
     echo ENC_std_MISSING_SKIP_NOCRASH
   else
