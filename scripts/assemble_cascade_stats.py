@@ -87,6 +87,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--statsdir", default="/tmp/device_scale/stats")
     p.add_argument("--out", default="BENCH_r3_cascade_stats.json")
+    p.add_argument("--prereg-max-seed", type=int, default=4,
+                   help="seeds <= this form the pre-registered grid; "
+                        "higher seeds are post-hoc extension and the "
+                        "artifact reports both analyses")
     args = p.parse_args()
 
     arms = {}
@@ -133,25 +137,56 @@ def main():
         print("WARNING: rows ran with differing budgets; "
               "artifact records min/max + per-row budgets")
 
-    gaps = {}
-    if "trained" in arms and "random" in arms:
+    def _welch_gaps(trained_rows, random_rows):
+        out = {}
         for m in METRICS:
-            t = arms["trained"][m]
-            r = arms["random"][m]
-            if t["n"] >= 2 and r["n"] >= 2:
+            tv = np.asarray([r[m] for r in trained_rows
+                             if r[m] is not None], float)
+            rv = np.asarray([r[m] for r in random_rows
+                             if r[m] is not None], float)
+            if len(tv) >= 2 and len(rv) >= 2:
                 # Welch CI on the difference of seed means, with the
                 # Welch-Satterthwaite df and Student-t critical value —
-                # computed from the UNROUNDED seed values (_raw)
-                st = (np.std(t["_raw"], ddof=1) ** 2) / t["n"]
-                sr = (np.std(r["_raw"], ddof=1) ** 2) / r["n"]
+                # computed from the UNROUNDED seed values
+                st = (np.std(tv, ddof=1) ** 2) / len(tv)
+                sr = (np.std(rv, ddof=1) ** 2) / len(rv)
                 df = (st + sr) ** 2 / (
-                    st ** 2 / max(t["n"] - 1, 1)
-                    + sr ** 2 / max(r["n"] - 1, 1) + 1e-12)
+                    st ** 2 / max(len(tv) - 1, 1)
+                    + sr ** 2 / max(len(rv) - 1, 1) + 1e-12)
                 half = _tcrit(df) * math.sqrt(st + sr)
-                gap = float(np.mean(t["_raw"]) - np.mean(r["_raw"]))
-                gaps[m] = dict(gap=round(gap, 4), ci95=round(half, 4),
-                               excludes_zero=bool(abs(gap) > half),
-                               direction="trained" if gap > 0 else "random")
+                gap = float(np.mean(tv) - np.mean(rv))
+                out[m] = dict(n_trained=len(tv), n_random=len(rv),
+                              gap=round(gap, 4), ci95=round(half, 4),
+                              excludes_zero=bool(abs(gap) > half),
+                              direction="trained" if gap > 0 else "random")
+        return out
+
+    gaps = {}
+    preregistered = None
+    if "trained" in arms and "random" in arms:
+        gaps = _welch_gaps(arms["trained"]["seeds"], arms["random"]["seeds"])
+        # the PRE-REGISTERED grid is seeds <= prereg-max-seed (default 4:
+        # the 5+5 design); extension seeds added post hoc must not
+        # silently absorb it — both analyses ship side by side
+        pre_t = [r for r in arms["trained"]["seeds"]
+                 if r["seed"] is not None and r["seed"] <= args.prereg_max_seed]
+        pre_r = [r for r in arms["random"]["seeds"]
+                 if r["seed"] is not None and r["seed"] <= args.prereg_max_seed]
+        if (len(pre_t), len(pre_r)) != (len(arms["trained"]["seeds"]),
+                                        len(arms["random"]["seeds"])):
+            preregistered = dict(
+                note=(f"seeds 0-{args.prereg_max_seed} are the "
+                      "pre-registered grid; later seeds are a FIXED-SIZE "
+                      "post-hoc extension declared before launch "
+                      "(scripts/run_r5_camroute_ext.sh). The "
+                      "pre-registered analysis is preserved here; the "
+                      "top-level gaps use all seeds and are labelled "
+                      "extended."),
+                gaps=_welch_gaps(pre_t, pre_r),
+                **{arm: {m: {k: v for k, v in _ci(
+                    [r[m] for r in rows if r[m] is not None]).items()
+                    if k != "_raw"} for m in METRICS}
+                   for arm, rows in (("trained", pre_t), ("random", pre_r))})
     for a in arms.values():  # _raw was math-only; keep the artifact clean
         for m in METRICS:
             if m in a:
@@ -215,6 +250,7 @@ def main():
         encoder_heterogeneity=heterogeneity,
         arms=arms,
         gaps=gaps,
+        preregistered=preregistered,
     )
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1)

@@ -46,9 +46,10 @@ def _seed_doc(arm, seed, completion, score, **cfg_extra):
 def _assemble(tmp_path, docs):
     import json
     import sys
+    import tempfile
+    from pathlib import Path
 
-    statsdir = tmp_path / "stats"
-    statsdir.mkdir()
+    statsdir = Path(tempfile.mkdtemp(dir=tmp_path, prefix="stats"))
     for name, doc in docs.items():
         (statsdir / f"{name}.json").write_text(json.dumps(doc))
     out = tmp_path / "artifact.json"
@@ -98,6 +99,33 @@ def test_homogeneous_arm_has_no_heterogeneity_note(tmp_path):
         "random_s1": _seed_doc("random", 1, 0.42, 35.0),
     })
     assert art["encoder_heterogeneity"] is None
+
+
+def test_prereg_grid_preserved_under_extension(tmp_path):
+    """Post-hoc extension seeds (> prereg-max-seed) must not silently
+    absorb the pre-registered analysis: the artifact carries BOTH the
+    all-seeds (extended) gaps and the seeds-0..4 pre-registered gaps."""
+    docs = {}
+    for s, (c, d) in enumerate([(0.55, 42.0), (0.48, 35.0), (0.55, 42.0),
+                                (0.45, 31.0), (0.56, 42.0), (0.70, 60.0)]):
+        docs[f"trained_s{s}"] = _seed_doc("trained", s, c, d,
+                                          encoder_sha256="aa" * 32)
+    for s, (c, d) in enumerate([(0.40, 34.0), (0.42, 35.0), (0.38, 33.0),
+                                (0.41, 36.0), (0.39, 33.0), (0.40, 34.0)]):
+        docs[f"random_s{s}"] = _seed_doc("random", s, c, d)
+    art = _assemble(tmp_path, docs)
+    pre = art["preregistered"]
+    assert pre is not None and "post-hoc extension" in pre["note"]
+    assert pre["gaps"]["mean_completion"]["n_trained"] == 5
+    assert art["gaps"]["mean_completion"]["n_trained"] == 6
+    # prereg means exclude the (outlier) extension seed
+    assert pre["trained"]["mean_completion"]["n"] == 5
+    assert pre["trained"]["mean_completion"]["mean"] < \
+        art["arms"]["trained"]["mean_completion"]["mean"]
+    # no extension seeds -> no prereg block (the common case)
+    art5 = _assemble(tmp_path, {k: v for k, v in docs.items()
+                                if not k.endswith("s5")})
+    assert art5["preregistered"] is None
 
 
 def test_gap_uses_unrounded_values(tmp_path):
